@@ -1,0 +1,55 @@
+"""Test configuration.
+
+Tests run on a virtual 8-device CPU mesh (the driver dry-runs the real
+multi-chip path separately) with float64 enabled for 1e-6 parity against
+dense NumPy oracles — mirroring the reference's float64-everywhere policy
+(gpflow default_float, SURVEY.md §5).
+"""
+import os
+
+# The surrounding environment pins JAX_PLATFORMS=axon (the real TPU tunnel);
+# tests must run on the virtual CPU mesh, so force-override here.
+os.environ["JAX_PLATFORMS"] = "cpu"
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_enable_x64", True)
+# persistent compilation cache: CPU test compiles dominate runtime otherwise
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_test_cache")
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+#: fixed seed, mirroring the reference's with_tf_random_seed (tests/conftest.py:22)
+SEED = 71892305
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(SEED)
+
+
+@pytest.fixture
+def key():
+    return jax.random.PRNGKey(SEED)
+
+
+@pytest.fixture(params=[(), (3,), (2, 1)], ids=["batch[]", "batch[3]", "batch[2,1]"])
+def batch_shape(request):
+    """Shape-grid testing style of the reference (tests/conftest.py:39-43)."""
+    return request.param
+
+
+@pytest.fixture(params=[1, 3], ids=["d1", "d3"])
+def state_dim(request):
+    return request.param
+
+
+@pytest.fixture(params=[1, 5], ids=["n1", "n5"])
+def num_transitions(request):
+    return request.param

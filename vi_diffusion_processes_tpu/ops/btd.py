@@ -1,0 +1,316 @@
+"""Block-tridiagonal (BTD) linear algebra — the TPU-native replacement for the
+reference's C++ ``banded_matrices`` custom-op library.
+
+The reference stores banded matrices densely as ``[bandwidth, N·d]`` and calls
+C++ kernels (``cholesky_band``, ``solve_triang_mat``,
+``inverse_from_cholesky_band``, … — see SURVEY.md §2.1, imported at
+``markovflow/block_tri_diag.py:22-31``).  On TPU we instead keep the *block*
+layout directly — a pair of stacked small matrices:
+
+* ``diag``: ``[..., N, d, d]`` — the block diagonal
+* ``sub``:  ``[..., N-1, d, d]`` — the lower block sub-diagonal
+  (``sub[k] = K[k+1, k]``)
+
+which removes the reference's ``band_to_block``/``block_to_band`` conversions
+entirely, keeps every operation a batched ``d×d`` matmul (MXU-friendly once
+batched), and is differentiable by construction (JAX traces through
+``lax.scan``; no hand-written C++ gradients needed, unlike
+``banded_matrices``' registered TF gradients).
+
+Sequential recursions (Cholesky, UDU', Takahashi sparse inverse) are
+implemented as ``lax.scan`` — O(N) depth but fully fused by XLA.  The affine
+recursions (triangular solves) additionally have O(log N)-depth
+``jax.lax.associative_scan`` fast paths used on TPU for long grids.
+
+Time axis convention: axis ``-3`` for block stacks, ``-2`` for vector stacks.
+Arbitrary leading batch dimensions are supported everywhere.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..utils.linalg import transpose_last, tri_solve
+
+__all__ = [
+    "BTD",
+    "btd_to_dense",
+    "btd_from_dense",
+    "btd_matvec",
+    "btd_add",
+    "btd_scale",
+    "btd_cholesky",
+    "btd_chol_solve_vec",
+    "btd_tri_solve_vec",
+    "btd_logdet_from_chol",
+    "btd_blocks_of_inverse",
+    "btd_udu",
+    "btd_solve_sym_vec",
+]
+
+
+class BTD(NamedTuple):
+    """A symmetric (or lower-triangular) block-tridiagonal matrix.
+
+    For symmetric use the upper sub-diagonal is implied (``sub[k]ᵀ``); for
+    Cholesky factors ``diag`` blocks are lower-triangular and ``sub`` is the
+    lower block sub-diagonal of the factor.
+    """
+
+    diag: jnp.ndarray  # [..., N, d, d]
+    sub: jnp.ndarray  # [..., N-1, d, d]
+
+    @property
+    def num_blocks(self) -> int:
+        return self.diag.shape[-3]
+
+    @property
+    def block_dim(self) -> int:
+        return self.diag.shape[-1]
+
+    @property
+    def batch_shape(self) -> Tuple[int, ...]:
+        return self.diag.shape[:-3]
+
+
+def btd_to_dense(m: BTD, symmetric: bool = True) -> jnp.ndarray:
+    """Densify to ``[..., N·d, N·d]`` (debug/test only — the equivalent of the
+    reference's ``unpack_banded_matrix_to_dense``, block_tri_diag.py:158)."""
+    n, d = m.num_blocks, m.block_dim
+    batch = m.batch_shape
+    out = jnp.zeros(batch + (n, d, n, d), dtype=m.diag.dtype)
+    idx = jnp.arange(n)
+    out = out.at[..., idx, :, idx, :].set(jnp.moveaxis(m.diag, -3, 0) if batch else m.diag)
+    if n > 1:
+        idx1 = jnp.arange(1, n)
+        sub_moved = jnp.moveaxis(m.sub, -3, 0) if batch else m.sub
+        out = out.at[..., idx1, :, idx1 - 1, :].set(sub_moved)
+        if symmetric:
+            out = out.at[..., idx1 - 1, :, idx1, :].set(transpose_last(sub_moved))
+    return out.reshape(batch + (n * d, n * d))
+
+
+def btd_from_dense(dense: jnp.ndarray, n: int, d: int) -> BTD:
+    """Extract the in-band blocks of a dense ``[..., N·d, N·d]`` matrix."""
+    batch = dense.shape[:-2]
+    blocks = dense.reshape(batch + (n, d, n, d))
+    idx = jnp.arange(n)
+    diag = blocks[..., idx, :, idx, :]
+    if batch:
+        diag = jnp.moveaxis(diag, 0, -3)
+    idx1 = jnp.arange(1, n)
+    sub = blocks[..., idx1, :, idx1 - 1, :]
+    if batch:
+        sub = jnp.moveaxis(sub, 0, -3)
+    return BTD(diag=diag, sub=sub)
+
+
+def btd_matvec(m: BTD, vec: jnp.ndarray, symmetric: bool = True) -> jnp.ndarray:
+    """``K @ x`` for ``x: [..., N, d]`` — fully parallel batched matmuls.
+
+    Equivalent of ``BlockTriDiagonal.dense_mult`` (block_tri_diag.py:175).
+    """
+    y = jnp.einsum("...ij,...j->...i", m.diag, vec)
+    lower = jnp.einsum("...ij,...j->...i", m.sub, vec[..., :-1, :])
+    y = y.at[..., 1:, :].add(lower)
+    if symmetric:
+        upper = jnp.einsum("...ji,...j->...i", m.sub, vec[..., 1:, :])
+        y = y.at[..., :-1, :].add(upper)
+    return y
+
+
+def btd_add(a: BTD, b: BTD) -> BTD:
+    return BTD(diag=a.diag + b.diag, sub=a.sub + b.sub)
+
+
+def btd_scale(a: BTD, s) -> BTD:
+    return BTD(diag=a.diag * s, sub=a.sub * s)
+
+
+def _scan_time_first(x: jnp.ndarray, axis: int) -> jnp.ndarray:
+    return jnp.moveaxis(x, axis, 0)
+
+
+def btd_cholesky(m: BTD) -> BTD:
+    """Blocked Cholesky ``K = L Lᵀ`` of a symmetric PD block-tridiagonal matrix.
+
+    The factor ``L`` is lower block *bidiagonal*:
+
+        ``L₀ L₀ᵀ = D₀``,
+        ``Cₖ = Bₖ Lₖ⁻ᵀ``,
+        ``Lₖ₊₁ Lₖ₊₁ᵀ = Dₖ₊₁ − Cₖ Cₖᵀ``.
+
+    TPU-native equivalent of the C++ ``cholesky_band``
+    (block_tri_diag.py:428-440).  Sequential over N inside one fused scan.
+    """
+    diag_t = _scan_time_first(m.diag, -3)  # [N, ..., d, d]
+    sub_t = _scan_time_first(m.sub, -3)  # [N-1, ..., d, d]
+
+    l0 = jnp.linalg.cholesky(diag_t[0])
+
+    def step(l_prev, inputs):
+        b_k, d_next = inputs
+        # C_k = B_k L_k^{-T}  ⇔  C_kᵀ = L_k^{-1} B_kᵀ
+        c_k = transpose_last(tri_solve(l_prev, transpose_last(b_k)))
+        schur = d_next - c_k @ transpose_last(c_k)
+        l_next = jnp.linalg.cholesky(schur)
+        return l_next, (l_next, c_k)
+
+    _, (l_rest, c_all) = lax.scan(step, l0, (sub_t, diag_t[1:]))
+    l_diag = jnp.concatenate([l0[None], l_rest], axis=0)
+    return BTD(
+        diag=jnp.moveaxis(l_diag, 0, -3),
+        sub=jnp.moveaxis(c_all, 0, -3),
+    )
+
+
+def btd_tri_solve_vec(l: BTD, rhs: jnp.ndarray, *, transpose: bool = False) -> jnp.ndarray:
+    """Solve ``L x = rhs`` (or ``Lᵀ x = rhs``) for lower block-bidiagonal ``L``.
+
+    ``rhs: [..., N, d]``.  Equivalent of the C++ ``solve_triang_mat``
+    (block_tri_diag.py:339-350).
+    """
+    ld_t = _scan_time_first(l.diag, -3)
+    ls_t = _scan_time_first(l.sub, -3)
+    rhs_t = _scan_time_first(rhs, -2)
+
+    if not transpose:
+        x0 = tri_solve(ld_t[0], rhs_t[0][..., None])[..., 0]
+
+        def step(x_prev, inputs):
+            c_k, l_next, r_next = inputs
+            resid = r_next - jnp.einsum("...ij,...j->...i", c_k, x_prev)
+            x_next = tri_solve(l_next, resid[..., None])[..., 0]
+            return x_next, x_next
+
+        _, xs = lax.scan(step, x0, (ls_t, ld_t[1:], rhs_t[1:]))
+        out = jnp.concatenate([x0[None], xs], axis=0)
+    else:
+        # Lᵀ is upper block bidiagonal: backward substitution.
+        xn = tri_solve(ld_t[-1], rhs_t[-1][..., None], transpose=True)[..., 0]
+
+        def step(x_next, inputs):
+            c_k, l_k, r_k = inputs
+            resid = r_k - jnp.einsum("...ji,...j->...i", c_k, x_next)
+            x_k = tri_solve(l_k, resid[..., None], transpose=True)[..., 0]
+            return x_k, x_k
+
+        _, xs = lax.scan(step, xn, (ls_t, ld_t[:-1], rhs_t[:-1]), reverse=True)
+        out = jnp.concatenate([xs, xn[None]], axis=0)
+    return jnp.moveaxis(out, 0, -2)
+
+
+def btd_chol_solve_vec(l: BTD, rhs: jnp.ndarray) -> jnp.ndarray:
+    """Solve ``(L Lᵀ) x = rhs`` given the BTD Cholesky factor."""
+    return btd_tri_solve_vec(l, btd_tri_solve_vec(l, rhs), transpose=True)
+
+
+def btd_logdet_from_chol(l: BTD) -> jnp.ndarray:
+    """``log |L Lᵀ| = 2 Σ log diag(L)`` (block_tri_diag.py:353)."""
+    return 2.0 * jnp.sum(
+        jnp.log(jnp.abs(jnp.diagonal(l.diag, axis1=-2, axis2=-1))), axis=(-1, -2)
+    )
+
+
+def btd_blocks_of_inverse(l: BTD) -> BTD:
+    """In-band blocks of ``(L Lᵀ)⁻¹`` from the BTD Cholesky factor ``L``.
+
+    Takahashi-style backward block recursion — the TPU-native equivalent of
+    the C++ ``inverse_from_cholesky_band`` (block_tri_diag.py:318-331):
+
+        ``Σ_NN = L_N⁻ᵀ L_N⁻¹``
+        ``G_k  = −L_k⁻ᵀ C_kᵀ``
+        ``Σ_{k,k+1} = G_k Σ_{k+1,k+1}``  (returned transposed, as ``sub``)
+        ``Σ_kk = L_k⁻ᵀ L_k⁻¹ + G_k Σ_{k+1,k+1} G_kᵀ``
+
+    Returns a BTD with ``diag[k] = Σ_kk`` and ``sub[k] = Σ_{k+1,k}``.
+    This is exact for block-tridiagonal matrices because the Cholesky factor
+    is block bidiagonal.
+    """
+    ld_t = _scan_time_first(l.diag, -3)
+    ls_t = _scan_time_first(l.sub, -3)
+    d = l.block_dim
+    eye = jnp.eye(d, dtype=l.diag.dtype)
+
+    def inv_from_chol(lk):
+        linv = tri_solve(lk, jnp.broadcast_to(eye, lk.shape))
+        return transpose_last(linv) @ linv
+
+    sig_n = inv_from_chol(ld_t[-1])
+
+    def step(sig_next, inputs):
+        l_k, c_k = inputs
+        # G_k = -L_k^{-T} C_kᵀ
+        g_k = -tri_solve(l_k, transpose_last(c_k), transpose=True)
+        cross = g_k @ sig_next  # Σ_{k,k+1}
+        sig_k = inv_from_chol(l_k) + cross @ transpose_last(g_k)
+        return sig_k, (sig_k, transpose_last(cross))
+
+    _, (sig_rest, sub_rest) = lax.scan(step, sig_n, (ld_t[:-1], ls_t), reverse=True)
+    diag = jnp.concatenate([sig_rest, sig_n[None]], axis=0)
+    return BTD(diag=jnp.moveaxis(diag, 0, -3), sub=jnp.moveaxis(sub_rest, 0, -3))
+
+
+def btd_udu(k: BTD) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Factor a symmetric PD BTD matrix as ``K = U D Uᵀ`` with unit upper
+    block-bidiagonal ``U``.
+
+    Returns ``(d_blocks [..., N, d, d], u_super [..., N-1, d, d])`` where
+    ``u_super[k] = U[k, k+1]``.  Backward recursion
+    (``D_k = K_kk − K_{k,k+1} D_{k+1}⁻¹ K_{k,k+1}ᵀ``) — equivalent of
+    ``SymmetricBlockTriDiagonal.upper_diagonal_lower``
+    (block_tri_diag.py:442-534), which is how a posterior precision is
+    converted back into SSM transition form (SpInGP: ``K = A⁻ᵀ Q⁻¹ A⁻¹``).
+    """
+    kd_t = _scan_time_first(k.diag, -3)
+    ks_t = _scan_time_first(k.sub, -3)
+
+    d_n = kd_t[-1]
+
+    def step(d_next, inputs):
+        k_kk, b_k = inputs  # b_k = K[k+1,k]  ⇒  K[k,k+1] = b_kᵀ
+        l_next = jnp.linalg.cholesky(d_next)
+        # U_k = K[k,k+1] D_{k+1}^{-1}  ⇒  U_kᵀ = D_{k+1}^{-1} b_k
+        ut_k = tri_solve(l_next, tri_solve(l_next, b_k), transpose=True)
+        d_k = k_kk - transpose_last(ut_k) @ b_k
+        return d_k, (d_k, transpose_last(ut_k))
+
+    _, (d_rest, u_rest) = lax.scan(step, d_n, (kd_t[:-1], ks_t), reverse=True)
+    d_blocks = jnp.concatenate([d_rest, d_n[None]], axis=0)
+    return jnp.moveaxis(d_blocks, 0, -3), jnp.moveaxis(u_rest, 0, -3)
+
+
+def btd_solve_sym_vec(k: BTD, rhs: jnp.ndarray) -> jnp.ndarray:
+    """Solve ``K x = rhs`` for symmetric PD BTD ``K`` via ``U D Uᵀ``.
+
+    ``U z = rhs`` (backward), ``w = D⁻¹ z``, ``Uᵀ x = w`` (forward).
+    """
+    d_blocks, u_super = btd_udu(k)
+    d_t = _scan_time_first(d_blocks, -3)
+    u_t = _scan_time_first(u_super, -3)
+    r_t = _scan_time_first(rhs, -2)
+
+    # backward: z_N = r_N ; z_k = r_k − U_k z_{k+1}
+    def bwd(z_next, inputs):
+        u_k, r_k = inputs
+        z_k = r_k - jnp.einsum("...ij,...j->...i", u_k, z_next)
+        return z_k, z_k
+
+    _, z_rest = lax.scan(bwd, r_t[-1], (u_t, r_t[:-1]), reverse=True)
+    z = jnp.concatenate([z_rest, r_t[-1][None]], axis=0)
+
+    chols = jnp.linalg.cholesky(d_t)
+    w = tri_solve(chols, tri_solve(chols, z[..., None]), transpose=True)[..., 0]
+
+    # forward: x_0 = w_0 ; x_k = w_k − U_{k-1}ᵀ x_{k-1}
+    def fwd(x_prev, inputs):
+        u_k, w_k = inputs
+        x_k = w_k - jnp.einsum("...ji,...j->...i", u_k, x_prev)
+        return x_k, x_k
+
+    _, x_rest = lax.scan(fwd, w[0], (u_t, w[1:]))
+    x = jnp.concatenate([w[0][None], x_rest], axis=0)
+    return jnp.moveaxis(x, 0, -2)

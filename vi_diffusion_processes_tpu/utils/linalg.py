@@ -1,0 +1,127 @@
+"""Small dense linear-algebra helpers shared across the library.
+
+These are the JAX equivalents of the helpers in the reference's
+``markovflow/utils.py`` (block_diag :76, kronecker_product :107) plus a few
+numerically defensive wrappers.  All functions are batched over arbitrary
+leading dimensions and jit-friendly (static shapes only).
+"""
+from __future__ import annotations
+
+from typing import Sequence
+
+import jax.numpy as jnp
+from jax import lax
+
+
+def transpose_last(x: jnp.ndarray) -> jnp.ndarray:
+    """Swap the last two axes (batched matrix transpose)."""
+    return jnp.swapaxes(x, -1, -2)
+
+
+def symmetrize(x: jnp.ndarray) -> jnp.ndarray:
+    """Return the symmetric part ``(x + xᵀ)/2`` over the last two axes."""
+    return 0.5 * (x + transpose_last(x))
+
+
+def cholesky_with_jitter(x: jnp.ndarray, jitter: float | None = None) -> jnp.ndarray:
+    """Cholesky of a PSD matrix with a diagonal jitter for stability.
+
+    Mirrors the reference's jitter pattern (markovflow/kernels/sde_kernel.py:333).
+    """
+    from ..config import default_jitter
+
+    if jitter is None:
+        jitter = default_jitter()
+    d = x.shape[-1]
+    eye = jnp.eye(d, dtype=x.dtype)
+    return jnp.linalg.cholesky(x + jitter * eye)
+
+
+def solve_psd(a: jnp.ndarray, b: jnp.ndarray, chol: jnp.ndarray | None = None) -> jnp.ndarray:
+    """Solve ``a x = b`` for symmetric positive-definite ``a`` via Cholesky."""
+    l = jnp.linalg.cholesky(a) if chol is None else chol
+    y = lax.linalg.triangular_solve(l, b, left_side=True, lower=True)
+    return lax.linalg.triangular_solve(l, y, left_side=True, lower=True, transpose_a=True)
+
+
+def cho_solve(l: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Solve ``(L Lᵀ) x = b`` given a lower Cholesky factor ``L``."""
+    y = lax.linalg.triangular_solve(l, b, left_side=True, lower=True)
+    return lax.linalg.triangular_solve(l, y, left_side=True, lower=True, transpose_a=True)
+
+
+def tri_solve(l: jnp.ndarray, b: jnp.ndarray, *, transpose: bool = False) -> jnp.ndarray:
+    """Solve ``L x = b`` (or ``Lᵀ x = b``) for lower-triangular ``L``."""
+    return lax.linalg.triangular_solve(
+        l, b, left_side=True, lower=True, transpose_a=transpose
+    )
+
+
+def block_diag(matrices: Sequence[jnp.ndarray]) -> jnp.ndarray:
+    """Batched block-diagonal concatenation of square matrices.
+
+    Equivalent of markovflow/utils.py:76.  Each input has shape
+    ``[..., dᵢ, dᵢ]`` with identical batch dims; output is
+    ``[..., Σdᵢ, Σdᵢ]``.
+    """
+    if len(matrices) == 1:
+        return matrices[0]
+    rows = []
+    dims = [m.shape[-1] for m in matrices]
+    for i, m in enumerate(matrices):
+        blocks = []
+        for j, d in enumerate(dims):
+            if i == j:
+                blocks.append(m)
+            else:
+                shape = m.shape[:-2] + (m.shape[-2], d)
+                blocks.append(jnp.zeros(shape, dtype=m.dtype))
+        rows.append(jnp.concatenate(blocks, axis=-1))
+    return jnp.concatenate(rows, axis=-2)
+
+
+def kron(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Batched Kronecker product over the last two axes.
+
+    Equivalent of markovflow/utils.py:107.
+    """
+    m, n = a.shape[-2], a.shape[-1]
+    p, q = b.shape[-2], b.shape[-1]
+    out = a[..., :, None, :, None] * b[..., None, :, None, :]
+    return out.reshape(out.shape[:-4] + (m * p, n * q))
+
+
+def mvn_logpdf(x: jnp.ndarray, mean: jnp.ndarray, chol_cov: jnp.ndarray) -> jnp.ndarray:
+    """Multivariate normal log-density with a Cholesky-parameterized covariance.
+
+    ``x, mean: [..., d]``, ``chol_cov: [..., d, d]`` → ``[...]``.
+    """
+    d = x.shape[-1]
+    diff = (x - mean)[..., None]
+    alpha = tri_solve(chol_cov, diff)[..., 0]
+    maha = jnp.sum(alpha**2, axis=-1)
+    log_det = 2.0 * jnp.sum(jnp.log(jnp.abs(jnp.diagonal(chol_cov, axis1=-2, axis2=-1))), axis=-1)
+    cst = d * jnp.log(2.0 * jnp.pi).astype(x.dtype)
+    return -0.5 * (maha + log_det + cst)
+
+
+def gaussian_kl(
+    mean_q: jnp.ndarray,
+    chol_q: jnp.ndarray,
+    mean_p: jnp.ndarray,
+    chol_p: jnp.ndarray,
+) -> jnp.ndarray:
+    """KL( N(mean_q, LqLqᵀ) ‖ N(mean_p, LpLpᵀ) ), batched over leading dims."""
+    d = mean_q.shape[-1]
+    lp_inv_lq = tri_solve(chol_p, chol_q)
+    trace = jnp.sum(lp_inv_lq**2, axis=(-1, -2))
+    diff = (mean_p - mean_q)[..., None]
+    alpha = tri_solve(chol_p, diff)[..., 0]
+    maha = jnp.sum(alpha**2, axis=-1)
+    log_det_q = 2.0 * jnp.sum(
+        jnp.log(jnp.abs(jnp.diagonal(chol_q, axis1=-2, axis2=-1))), axis=-1
+    )
+    log_det_p = 2.0 * jnp.sum(
+        jnp.log(jnp.abs(jnp.diagonal(chol_p, axis1=-2, axis2=-1))), axis=-1
+    )
+    return 0.5 * (trace + maha - d + log_det_p - log_det_q)
