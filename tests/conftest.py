@@ -4,17 +4,32 @@ Tests run on a virtual 8-device CPU mesh (the driver dry-runs the real
 multi-chip path separately) with float64 enabled for 1e-6 parity against
 dense NumPy oracles — mirroring the reference's float64-everywhere policy
 (gpflow default_float, SURVEY.md §5).
+
+The surrounding environment boots the axon TPU tunnel via sitecustomize,
+which force-sets ``jax_platforms="axon,cpu"`` with ``jax.config.update``
+(overriding any JAX_PLATFORMS env var).  Undo that here and clear any
+initialized backends so tests compile locally on CPU instead of round-
+tripping every compile through the TPU tunnel.
 """
 import os
 
-# The surrounding environment pins JAX_PLATFORMS=axon (the real TPU tunnel);
-# tests must run on the virtual CPU mesh, so force-override here.
-os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
+# silence XLA:CPU AOT-cache feature-mismatch warnings (cache entries written
+# under the axon env claim tuning pseudo-features the loader warns about)
+os.environ.setdefault("TF_CPP_MIN_LOG_LEVEL", "3")
 
 import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+try:  # drop any backend the axon sitecustomize may have initialized
+    from jax.extend.backend import clear_backends
+
+    clear_backends()
+except Exception:  # pragma: no cover
+    pass
 
 jax.config.update("jax_enable_x64", True)
 # persistent compilation cache: CPU test compiles dominate runtime otherwise

@@ -99,7 +99,15 @@ class SDEKernel(Kernel):
         return self.transition_statistics(time_points[..., :-1], to_delta_time(time_points))
 
     def state_space_model(self, time_points: jnp.ndarray) -> StateSpaceModel:
-        """Build the prior SSM on a grid (sde_kernel.py:153-171)."""
+        """Build the prior SSM on a grid (sde_kernel.py:153-171).
+
+        Non-zero process covariances get the kernel jitter on the diagonal
+        (sde_kernel.py:122-131) — tiny Δt makes ``P∞ − A P∞ Aᵀ``
+        numerically indefinite otherwise; exactly-zero blocks
+        (deterministic kernels) stay zero.
+        """
+        from ..config import default_jitter
+
         batch_shape = time_points.shape[:-1]
         a_s, q_s = self.transition_statistics_from_time_points(time_points)
         return ssm_from_covariances(
@@ -108,6 +116,7 @@ class SDEKernel(Kernel):
             state_transitions=a_s,
             state_offsets=self.state_offsets(time_points[..., :-1], to_delta_time(time_points)),
             process_covariances=q_s,
+            jitter=self.jitter + default_jitter(),
         )
 
     def build_finite_distribution(self, time_points: jnp.ndarray) -> StateSpaceModel:

@@ -1,0 +1,104 @@
+"""Exact Gaussian process regression via the parallel Kalman path.
+
+Equivalent of markovflow/models/gaussian_process_regression.py:30 — exact
+conjugate inference: ``loss = −log p(y)``; the posterior over states comes
+from the parallel filter/smoother instead of banded UDU' factorizations
+(kalman_filter.py:109-182).  The whole loss is one jitted XLA program.
+"""
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax.numpy as jnp
+from flax import struct
+
+from ..parallel.pskf import (
+    filter_smoother_with_sites,
+    parallel_filter,
+    posterior_ssm_from_smoothed,
+    site_log_normalizer,
+)
+from ..ssm.mean_functions import MeanFunction
+from ..utils.linalg import cho_solve, transpose_last
+from .posterior import AnalyticPosteriorProcess
+
+__all__ = ["GaussianProcessRegression", "gaussian_observation_sites"]
+
+_LOG2PI = float(jnp.log(2.0 * jnp.pi))
+
+
+def gaussian_observation_sites(
+    emission_matrix: jnp.ndarray, chol_obs_covariance: jnp.ndarray, observations: jnp.ndarray
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Convert Gaussian observations into information-form state sites.
+
+    ``Λ_k = H_kᵀ R⁻¹ H_k``, ``θ_k = H_kᵀ R⁻¹ y_k``, plus the per-datum
+    constants ``−½ y_kᵀR⁻¹y_k − ½ log|2πR|`` that turn the generic site
+    normalizer into ``log p(y)`` (kalman_filter.py:184-255 equivalence).
+    """
+    h = emission_matrix
+    m = h.shape[-2]
+    rinv_h = cho_solve(chol_obs_covariance, h)
+    nat2 = transpose_last(h) @ rinv_h
+    rinv_y = cho_solve(chol_obs_covariance, observations[..., None])[..., 0]
+    nat1 = jnp.einsum("...ji,...j->...i", h, rinv_y)
+    log_det_r = 2.0 * jnp.sum(
+        jnp.log(jnp.abs(jnp.diagonal(chol_obs_covariance, axis1=-2, axis2=-1))), axis=-1
+    )
+    constants = -0.5 * (
+        jnp.einsum("...i,...i->...", observations, rinv_y) + m * _LOG2PI + log_det_r
+    )
+    return nat1, nat2, constants
+
+
+@struct.dataclass
+class GaussianProcessRegression:
+    """Exact GPR on a time grid (gaussian_process_regression.py:30-160).
+
+    Fields are pytree leaves → directly trainable with optax/jax.grad.
+    ``time_points: [..., N]``, ``observations: [..., N, m]``,
+    ``chol_obs_covariance: [m, m]``.
+    """
+
+    kernel: object
+    time_points: jnp.ndarray
+    observations: jnp.ndarray
+    chol_obs_covariance: jnp.ndarray
+    mean_function: Optional[MeanFunction] = None
+
+    def _sites(self):
+        emission = self.kernel.generate_emission_model(self.time_points)
+        y = self.observations
+        if self.mean_function is not None:
+            y = y - self.mean_function(self.time_points)
+        return emission, gaussian_observation_sites(
+            emission.emission_matrix, self.chol_obs_covariance, y
+        )
+
+    def log_likelihood(self) -> jnp.ndarray:
+        """``log p(y)`` — parallel filter + site normalizer."""
+        ssm = self.kernel.state_space_model(self.time_points)
+        _, (nat1, nat2, constants) = self._sites()
+        filt = parallel_filter(ssm, nat1, nat2)
+        return site_log_normalizer(filt, nat1, nat2) + jnp.sum(constants, axis=-1)
+
+    def loss(self) -> jnp.ndarray:
+        return -self.log_likelihood()
+
+    def posterior_state_space_model(self):
+        ssm = self.kernel.state_space_model(self.time_points)
+        _, (nat1, nat2, _) = self._sites()
+        _, smooth = filter_smoother_with_sites(ssm, nat1, nat2)
+        return posterior_ssm_from_smoothed(ssm, smooth)
+
+    @property
+    def posterior(self) -> AnalyticPosteriorProcess:
+        from ..likelihoods.gaussian import MultivariateGaussian
+
+        return AnalyticPosteriorProcess(
+            dist=self.posterior_state_space_model(),
+            kernel=self.kernel,
+            conditioning_time_points=self.time_points,
+            mean_function=self.mean_function,
+            likelihood=MultivariateGaussian(chol_covariance=self.chol_obs_covariance),
+        )

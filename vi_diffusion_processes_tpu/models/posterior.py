@@ -1,0 +1,107 @@
+"""Posterior processes: predict states / f / y at arbitrary time points.
+
+Equivalent of markovflow/posterior.py (PosteriorProcess :37,
+ConditionalProcess :166, AnalyticPosteriorProcess :414).  A posterior
+process bundles a Gauss–Markov distribution over states at conditioning
+points with the kernel; prediction at new points goes through pairwise
+marginals + the Markov two-sided conditional (all batched gathers + small
+matmuls — O(M) work for M new points).
+"""
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from ..ssm.conditionals import conditional_predict, pairwise_marginals
+from ..ssm.mean_functions import MeanFunction
+from ..ssm.state_space_model import StateSpaceModel
+
+__all__ = ["ConditionalProcess", "AnalyticPosteriorProcess"]
+
+
+@struct.dataclass
+class ConditionalProcess:
+    """Posterior over the process conditioned on states at
+    ``conditioning_time_points`` (posterior.py:166)."""
+
+    dist: StateSpaceModel
+    kernel: object
+    conditioning_time_points: jnp.ndarray
+    mean_function: Optional[MeanFunction] = None
+
+    def predict_state(self, new_time_points: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """Marginal state means/covs at new points (posterior.py:207-229)."""
+        batch_shape = self.conditioning_time_points.shape[:-1]
+        pw_means, pw_covs = pairwise_marginals(
+            self.dist,
+            self.kernel.initial_mean(batch_shape).astype(new_time_points.dtype),
+            self.kernel.initial_covariance(self.conditioning_time_points[..., :1]),
+        )
+        return conditional_predict(
+            new_time_points, self.conditioning_time_points, self.kernel, pw_means, pw_covs
+        )
+
+    def predict_f(
+        self, new_time_points: jnp.ndarray, full_output_cov: bool = False
+    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """Marginal f means/covs at new points (posterior.py:231-258)."""
+        means, covs = self.predict_state(new_time_points)
+        emission = self.kernel.generate_emission_model(new_time_points)
+        f_means, f_covs = emission.project_state_marginals_to_f(means, covs, full_output_cov)
+        if self.mean_function is not None:
+            f_means = f_means + self.mean_function(new_time_points)
+        return f_means, f_covs
+
+    def sample_state(
+        self, new_time_points: jnp.ndarray, key: jax.Array, sample_shape: Tuple[int, ...] = ()
+    ) -> jnp.ndarray:
+        """Joint posterior samples at new time points (posterior.py:260-377).
+
+        Matheron-style: sample the conditioning states jointly from ``dist``,
+        then sample each new point from ``p(x_t | x₋, x₊)`` — exact because
+        new points are conditionally independent given the pair states.
+        """
+        from ..ssm.conditionals import conditional_statistics
+
+        k1, k2 = jax.random.split(key)
+        # joint sample of conditioning states: [*S, ..., N+1, d]
+        cond_samples = self.dist.sample(k1, sample_shape)
+        p, t, indices = conditional_statistics(
+            new_time_points, self.conditioning_time_points, self.kernel
+        )
+        batch_shape = self.conditioning_time_points.shape[:-1]
+        prior_mean = self.kernel.initial_mean(batch_shape).astype(new_time_points.dtype)
+        # pairwise samples, prior-extended with the prior *mean* at both ends
+        im = jnp.broadcast_to(prior_mean, cond_samples.shape[:-2] + (1, prior_mean.shape[-1]))
+        ext = jnp.concatenate([im, cond_samples, im], axis=-2)
+        pairs = jnp.concatenate([ext[..., :-1, :], ext[..., 1:, :]], axis=-1)
+        pair_states = jnp.take(pairs, indices, axis=-2)
+        cond_mean = jnp.einsum("...ij,...j->...i", p, pair_states)
+        chol_t = jnp.linalg.cholesky(
+            t + 1e-12 * jnp.eye(t.shape[-1], dtype=t.dtype)
+        )
+        eps = jax.random.normal(k2, cond_mean.shape, cond_mean.dtype)
+        return cond_mean + jnp.einsum("...ij,...j->...i", chol_t, eps)
+
+    def sample_f(self, new_time_points, key, sample_shape=()):
+        states = self.sample_state(new_time_points, key, sample_shape)
+        emission = self.kernel.generate_emission_model(new_time_points)
+        f = emission.project_state_to_f(states)
+        if self.mean_function is not None:
+            f = f + self.mean_function(new_time_points)
+        return f
+
+
+@struct.dataclass
+class AnalyticPosteriorProcess(ConditionalProcess):
+    """Posterior with an attached likelihood → also predicts observations
+    (posterior.py:414-469)."""
+
+    likelihood: object = None
+
+    def predict_y(self, new_time_points: jnp.ndarray):
+        f_means, f_covs = self.predict_f(new_time_points)
+        return self.likelihood.predict_mean_and_var(f_means, f_covs)

@@ -207,9 +207,9 @@ def parallel_smoother(ssm: StateSpaceModel, filt: FilterResult) -> SmootherResul
     )
 
     def op(a, b):
-        # reverse scan: `a` later... lax.associative_scan(reverse=True) passes
-        # (earlier, later) in scan order; composition must apply later first.
-        return _smoother_compose(b, a)
+        # With reverse=True, associative_scan folds from the right: ``a`` is
+        # the already-combined later suffix, ``b`` the earlier element.
+        return _smoother_compose(a, b)
 
     _, g_cum, l_cum = lax.associative_scan(op, elems, reverse=True)
     return SmootherResult(

@@ -40,18 +40,33 @@ def cholesky_with_jitter(x: jnp.ndarray, jitter: float | None = None) -> jnp.nda
 def solve_psd(a: jnp.ndarray, b: jnp.ndarray, chol: jnp.ndarray | None = None) -> jnp.ndarray:
     """Solve ``a x = b`` for symmetric positive-definite ``a`` via Cholesky."""
     l = jnp.linalg.cholesky(a) if chol is None else chol
-    y = lax.linalg.triangular_solve(l, b, left_side=True, lower=True)
-    return lax.linalg.triangular_solve(l, y, left_side=True, lower=True, transpose_a=True)
+    return cho_solve(l, b)
 
 
 def cho_solve(l: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
-    """Solve ``(L Lᵀ) x = b`` given a lower Cholesky factor ``L``."""
-    y = lax.linalg.triangular_solve(l, b, left_side=True, lower=True)
-    return lax.linalg.triangular_solve(l, y, left_side=True, lower=True, transpose_a=True)
+    """Solve ``(L Lᵀ) x = b`` given a lower Cholesky factor ``L``.
+
+    Leading batch dims broadcast.
+    """
+    y = tri_solve(l, b)
+    return tri_solve(l, y, transpose=True)
+
+
+def _broadcast_batch(a: jnp.ndarray, b: jnp.ndarray):
+    """Broadcast the leading (batch) dims of two stacks of matrices."""
+    batch = jnp.broadcast_shapes(a.shape[:-2], b.shape[:-2])
+    return (
+        jnp.broadcast_to(a, batch + a.shape[-2:]),
+        jnp.broadcast_to(b, batch + b.shape[-2:]),
+    )
 
 
 def tri_solve(l: jnp.ndarray, b: jnp.ndarray, *, transpose: bool = False) -> jnp.ndarray:
-    """Solve ``L x = b`` (or ``Lᵀ x = b``) for lower-triangular ``L``."""
+    """Solve ``L x = b`` (or ``Lᵀ x = b``) for lower-triangular ``L``.
+
+    Unlike raw ``lax.linalg.triangular_solve``, leading batch dims broadcast.
+    """
+    l, b = _broadcast_batch(l, b)
     return lax.linalg.triangular_solve(
         l, b, left_side=True, lower=True, transpose_a=transpose
     )
