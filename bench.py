@@ -1,0 +1,138 @@
+"""Benchmark: CVI-DP natural-gradient site step on a 100k-step double-well grid.
+
+North-star metric (BASELINE.json): full natgrad ELBO steps/sec for CVI-DP
+site-based inference on the double-well diffusion with a 100k-point time
+grid, on one TPU chip.
+
+The reference (TF 2.2 CPU + banded_matrices C++) publishes no numbers and is
+not installable here (no TensorFlow in the image), so ``vs_baseline``
+compares against a faithful NumPy *sequential* re-implementation of the
+dominant per-step work — the O(N) banded recursions (UDU' factorization,
+bidiagonal solves) plus the Gauss–Hermite drift sweep — executed on the host
+CPU for a 10k slice and scaled linearly to 100k (all ops are O(N)).  That
+mirrors the reference's per-step compute profile (sequential C++ recursions
+under an eager driver, SURVEY.md §3.3).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+import json
+import time
+
+import numpy as np
+
+
+def build_model(grid_size: int, dtype):
+    import jax.numpy as jnp
+
+    from vi_diffusion_processes_tpu.likelihoods.gaussian import Gaussian
+    from vi_diffusion_processes_tpu.models.cvi_dp import CVISitesSDE
+    from vi_diffusion_processes_tpu.sde.zoo import DoubleWellSDE
+
+    sde = DoubleWellSDE(q_mat=jnp.asarray([[0.8]], dtype))
+    grid = jnp.linspace(0.0, 10.0, grid_size, dtype=dtype)
+    rng = np.random.default_rng(0)
+    obs_idx = np.arange(50, grid_size - 1, max(50, grid_size // 200))
+    obs_t = grid[obs_idx]
+    obs_y = jnp.asarray(
+        np.sign(np.sin(0.6 * np.asarray(obs_t)))[:, None]
+        + 0.2 * rng.normal(size=(len(obs_idx), 1)),
+        dtype,
+    )
+    return CVISitesSDE.initialize_sde(
+        sde, grid, (obs_t, obs_y), Gaussian(variance=jnp.asarray(0.04, dtype))
+    )
+
+
+def bench_tpu(grid_size: int = 100_000, n_steps: int = 10) -> float:
+    """Seconds per full CVI-DP natgrad step (data sites + Girsanov sites +
+    ELBO) on the default JAX device."""
+    import jax
+    import jax.numpy as jnp
+
+    dtype = jnp.float32
+    model = build_model(grid_size, dtype)
+
+    @jax.jit
+    def step(m, lr):
+        m = m.update_data_sites(lr).update_girsanov_sites(lr)
+        return m, m.classic_elbo()
+
+    # compile + warmup
+    model, elbo = step(model, 0.3)
+    jax.block_until_ready(elbo)
+
+    t0 = time.perf_counter()
+    for _ in range(n_steps):
+        model, elbo = step(model, 0.3)
+    jax.block_until_ready(elbo)
+    dt = (time.perf_counter() - t0) / n_steps
+    return dt, float(elbo)
+
+
+def bench_numpy_baseline(grid_size: int = 10_000, n_reps: int = 3) -> float:
+    """Sequential NumPy re-implementation of one step's dominant work:
+
+    * 3× UDU' backward recursion over the grid (the reference runs
+      ``naturals_to_ssm_params`` 2-3× per step, each a sequential banded
+      factorization — SURVEY.md §3.3),
+    * 3× backward + forward bidiagonal mean solves,
+    * one 20-point Gauss–Hermite drift-difference sweep,
+    * one forward marginal recursion.
+    """
+    rng = np.random.default_rng(0)
+    kd = rng.random(grid_size) + 2.0
+    ks = 0.3 * rng.random(grid_size - 1)
+    theta = rng.random(grid_size)
+    z, w = np.polynomial.hermite.hermgauss(20)
+
+    def one_step():
+        for _ in range(3):  # naturals_to_ssm_params × 3
+            d = np.empty(grid_size)
+            d[-1] = kd[-1]
+            for k in range(grid_size - 2, -1, -1):  # UDU'
+                d[k] = kd[k] - ks[k] ** 2 / d[k + 1]
+            zz = np.empty(grid_size)
+            zz[-1] = theta[-1]
+            for k in range(grid_size - 2, -1, -1):  # backward solve
+                zz[k] = theta[k] + ks[k] / d[k + 1] * zz[k + 1]
+            mu = np.empty(grid_size)
+            mu[0] = zz[0] / d[0]
+            for k in range(1, grid_size):  # forward solve
+                mu[k] = zz[k] / d[k] + ks[k - 1] / d[k] * mu[k - 1]
+        # quadrature sweep (vectorized — generous to the baseline)
+        m = mu[:-1]
+        s = 1.0 / d[:-1]
+        x = m[:, None] + np.sqrt(2.0 * s)[:, None] * z
+        drift = 4.0 * x * (1.0 - x**2)
+        lin = m[:, None] * 0.9 + 0.1
+        np.sum(((lin - drift) ** 2 * w), axis=-1)
+        # forward marginal recursion
+        mm = np.empty(grid_size)
+        mm[0] = 0.0
+        for k in range(1, grid_size):
+            mm[k] = 0.99 * mm[k - 1] + 0.01
+        return mu
+
+    one_step()  # warmup
+    t0 = time.perf_counter()
+    for _ in range(n_reps):
+        one_step()
+    return (time.perf_counter() - t0) / n_reps
+
+
+def main():
+    grid_size = 100_000
+    step_time, elbo = bench_tpu(grid_size)
+    baseline_10k = bench_numpy_baseline(10_000)
+    baseline_100k = baseline_10k * (grid_size / 10_000)  # O(N) scaling
+    result = {
+        "metric": "cvi_dp_full_natgrad_step_100k_grid",
+        "value": round(1.0 / step_time, 3),
+        "unit": "steps/sec",
+        "vs_baseline": round(baseline_100k / step_time, 2),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -283,6 +283,83 @@ def btd_udu(k: BTD) -> Tuple[jnp.ndarray, jnp.ndarray]:
     return jnp.moveaxis(d_blocks, 0, -3), jnp.moveaxis(u_rest, 0, -3)
 
 
+def btd_udu_parallel_1d(k: BTD) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Parallel UDU' for scalar blocks (d = 1), O(log N) depth.
+
+    The backward recursion ``D_k = K_kk − B_k² / D_{k+1}`` is a continued
+    fraction, i.e. a composition of Möbius maps: representing ``D = p/q``
+    projectively, each step is the 2×2 matrix ``M_k = [[K_kk, −B_k²], [1, 0]]``
+    and composition is matrix multiplication — associative, so the whole
+    sweep is one ``lax.associative_scan`` of 2×2 products (normalized per
+    composition for overflow safety; normalization preserves the projective
+    class and associativity).
+
+    This is the TPU fast path for the CVI hot loop
+    (``naturals_to_ssm_params``) where the reference runs sequential C++
+    banded recursions (ssm_gaussian_transformations.py:333-512).
+    """
+    kd = k.diag[..., 0, 0]  # [..., N]
+    ks = k.sub[..., 0, 0]  # [..., N-1]
+    n = kd.shape[-1]
+
+    b2 = jnp.concatenate([ks**2, jnp.zeros_like(kd[..., :1])], axis=-1)  # B_N = 0
+    # time-major [N, ..., 2, 2]
+    m = jnp.stack(
+        [
+            jnp.stack([kd, -b2], axis=-1),
+            jnp.stack([jnp.ones_like(kd), jnp.zeros_like(kd)], axis=-1),
+        ],
+        axis=-2,
+    )
+    m_t = jnp.moveaxis(m, -3, 0)
+
+    def compose(a, b):
+        # reverse scan: a = later cumulative suffix, b = earlier element;
+        # the earlier map applies ON TOP of the suffix: M_b @ M_a
+        prod = b @ a
+        scale = jnp.sqrt(jnp.sum(prod**2, axis=(-1, -2), keepdims=True)) + 1e-300
+        return prod / scale
+
+    cum = lax.associative_scan(compose, m_t, reverse=True)
+    # D_k = (cum_k @ [1, 0]ᵀ) ratio
+    p = cum[..., 0, 0]
+    q = cum[..., 1, 0]
+    d_scalar = jnp.moveaxis(p / q, 0, -1)  # [..., N]
+
+    # U_k = K[k,k+1] / D_{k+1} = B_kᵀ/D_{k+1} (scalar: sub_k / D_{k+1})
+    u_scalar = ks / d_scalar[..., 1:]
+    return d_scalar[..., :, None, None], u_scalar[..., :, None, None]
+
+
+def affine_scan(t_mats: jnp.ndarray, c_vecs: jnp.ndarray, x0: jnp.ndarray, *, reverse: bool = False) -> jnp.ndarray:
+    """Parallel solve of the affine recursion ``x_k = T_k x_{k±1} + c_k``.
+
+    ``t_mats: [..., N, d, d]``, ``c_vecs: [..., N, d]``, ``x0: [..., d]`` is
+    the boundary value (first element when ``reverse=False``, last when
+    ``reverse=True``).  Returns all N values (excluding the boundary).
+    O(log N) depth — used to parallelize the block-bidiagonal substitutions.
+    """
+    t_t = jnp.moveaxis(t_mats, -3, 0)
+    c_t = jnp.moveaxis(c_vecs, -2, 0)
+
+    def compose(e1, e2):
+        # e2 applied after e1 in recursion order
+        a1, b1 = e1
+        a2, b2 = e2
+        return a2 @ a1, jnp.einsum("...ij,...j->...i", a2, b1) + b2
+
+    if not reverse:
+        ca, cb = lax.associative_scan(compose, (t_t, c_t))
+    else:
+        def compose_rev(a, b):
+            # a = later suffix, b = earlier elem; earlier applied after
+            return compose(a, b)
+
+        ca, cb = lax.associative_scan(compose_rev, (t_t, c_t), reverse=True)
+    xs = jnp.einsum("t...ij,...j->t...i", ca, x0) + cb
+    return jnp.moveaxis(xs, 0, -2)
+
+
 def btd_solve_sym_vec(k: BTD, rhs: jnp.ndarray) -> jnp.ndarray:
     """Solve ``K x = rhs`` for symmetric PD BTD ``K`` via ``U D Uᵀ``.
 

@@ -1,0 +1,174 @@
+"""Training loops for the diffusion-process models.
+
+Equivalents of the reference experiment trainers
+(docs/diffusion_processes/cvi_dp_trainer.py:19 ``CVISitesTrainer`` and
+vi_markov_gp_trainer.py:17 ``VIMarkovGPTrainer``) — the de-facto ``train()``
+of CVI-DP and VDP.  The numerical stabilizers are ported: learning-rate
+decay on ELBO decrease (cvi_dp_trainer.py:84-87), zigzag/convergence
+detection (:166-185), warmup steps for VDP (vi_markov_gp_trainer.py:100-104).
+
+The per-iteration step functions are jitted once; the outer control flow
+(lr schedules, convergence checks) stays in Python — it is data-dependent
+and cheap.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..models.cvi_dp import CVISitesSDE, CVISitesSSM
+from ..models.vdp import VariationalMarkovGP
+
+__all__ = ["CVISitesTrainer", "VDPTrainer"]
+
+
+@dataclass
+class CVISitesTrainer:
+    """Alternating site-update / re-linearization / drift-learning loop
+    (cvi_dp_trainer.py:19-250)."""
+
+    model: CVISitesSSM
+    sites_lr: float = 0.5
+    prior_sde_lr: float = 0.01
+    max_inner_iters: int = 20
+    max_outer_iters: int = 10
+    elbo_tol: float = 1e-4
+    lr_decay: float = 0.5
+    learn_prior_sde: bool = False
+    elbo_trace: List[float] = field(default_factory=list)
+
+    def __post_init__(self):
+        self._site_step = jax.jit(
+            lambda m, lr: m.update_data_sites(lr).update_girsanov_sites(lr)
+        )
+        self._elbo = jax.jit(lambda m: m.classic_elbo())
+        if self.learn_prior_sde:
+            self._prior_opt = optax.adam(self.prior_sde_lr)
+            self._prior_opt_state = self._prior_opt.init(self.model.prior_sde)
+
+    # ------------------------------------------------------------- inner loop
+    def optimize_sites(self) -> float:
+        """Inner loop: site updates with lr decay on ELBO decrease
+        (cvi_dp_trainer.py:63-95)."""
+        lr = self.sites_lr
+        prev = float(self._elbo(self.model))
+        for _ in range(self.max_inner_iters):
+            candidate = self._site_step(self.model, lr)
+            elbo = float(self._elbo(candidate))
+            if jnp.isnan(elbo) or elbo < prev - abs(prev) * 1e-6:
+                lr *= self.lr_decay  # ELBO went down: decay and retry
+                if lr < 1e-4:
+                    break
+                continue
+            self.model = candidate
+            self.elbo_trace.append(elbo)
+            if abs(elbo - prev) < self.elbo_tol:
+                prev = elbo
+                break
+            prev = elbo
+        return prev
+
+    # ------------------------------------------------------------- outer loop
+    def perform_inference(self) -> float:
+        """Outer loop: optimize sites, re-linearize + re-base Girsanov sites
+        (cvi_dp_trainer.py:97-136)."""
+        elbo = self.optimize_sites()
+        if isinstance(self.model, CVISitesSDE):
+            self.model = self.model.relinearize()
+        return elbo
+
+    def optimize_prior_sde(self) -> None:
+        """Adam on ``∇(KL + −VE)`` wrt the prior SDE parameters
+        (cvi_dp_trainer.py:207-234)."""
+        assert isinstance(self.model, CVISitesSDE)
+        g_kl = self.model.grad_kl_wrt_prior_params()
+        g_ve = self.model.grad_ve_wrt_prior_params()
+        grads = jax.tree_util.tree_map(lambda a, b: a + b, g_kl, g_ve)
+        updates, self._prior_opt_state = self._prior_opt.update(
+            grads, self._prior_opt_state
+        )
+        new_sde = optax.apply_updates(self.model.prior_sde, updates)
+        self.model = self.model.replace(prior_sde=new_sde).set_linearized_prior()
+
+    def optimize(self) -> List[float]:
+        """Alternate inference and (optional) prior learning with zigzag
+        detection (cvi_dp_trainer.py:138-185)."""
+        elbos = []
+        for _ in range(self.max_outer_iters):
+            elbo = self.perform_inference()
+            if self.learn_prior_sde:
+                self.optimize_prior_sde()
+            elbos.append(elbo)
+            if len(elbos) >= 3:
+                # zigzag: successive changes of alternating sign & small size
+                d1, d2 = elbos[-1] - elbos[-2], elbos[-2] - elbos[-3]
+                if abs(d1) < self.elbo_tol and abs(d2) < self.elbo_tol:
+                    break
+        return elbos
+
+
+@dataclass
+class VDPTrainer:
+    """VDP fixed-point loop with warmup (vi_markov_gp_trainer.py:17-219)."""
+
+    model: VariationalMarkovGP
+    lr: float = 0.05
+    x0_lr: float = 0.05
+    warmup_steps: int = 20
+    warmup_lr: float = 1e-6
+    max_iters: int = 200
+    elbo_tol: float = 1e-4
+    lr_decay: float = 0.5
+    prior_sde_lr: float = 0.01
+    learn_prior_sde: bool = False
+    elbo_trace: List[float] = field(default_factory=list)
+
+    def __post_init__(self):
+        self._step = jax.jit(lambda m, lr, x0_lr: m.inference_step(lr, x0_lr))
+        self._elbo = jax.jit(lambda m: m.elbo())
+        if self.learn_prior_sde:
+            self._prior_opt = optax.adam(self.prior_sde_lr)
+            self._prior_opt_state = self._prior_opt.init(self.model.prior_sde)
+
+    def perform_inference(self) -> float:
+        # warmup at tiny lr (vi_markov_gp_trainer.py:100-104)
+        for _ in range(self.warmup_steps):
+            self.model = self._step(self.model, self.warmup_lr, 0.0)
+        lr = self.lr
+        prev = float(self._elbo(self.model))
+        for _ in range(self.max_iters):
+            candidate = self._step(self.model, lr, self.x0_lr)
+            elbo = float(self._elbo(candidate))
+            if jnp.isnan(elbo) or elbo < prev - abs(prev) * 1e-6:
+                lr *= self.lr_decay
+                if lr < 1e-7:
+                    break
+                continue
+            self.model = candidate
+            self.elbo_trace.append(elbo)
+            if abs(elbo - prev) < self.elbo_tol:
+                prev = elbo
+                break
+            prev = elbo
+        return prev
+
+    def optimize_prior_sde(self) -> None:
+        """Adam on ``∂E_sde/∂θ_p`` (vi_markov_gp_trainer.py:163-201)."""
+        grads = self.model.grad_prior_sde_params()
+        updates, self._prior_opt_state = self._prior_opt.update(
+            grads, self._prior_opt_state
+        )
+        new_sde = optax.apply_updates(self.model.prior_sde, updates)
+        self.model = self.model.replace(prior_sde=new_sde)
+
+    def optimize(self, n_rounds: int = 5) -> List[float]:
+        elbos = []
+        for _ in range(n_rounds):
+            elbos.append(self.perform_inference())
+            if self.learn_prior_sde:
+                self.optimize_prior_sde()
+        return elbos

@@ -143,39 +143,31 @@ def naturals_to_ssm_params(theta_linear, theta_diag, theta_sub):
     then the means solve ``K μ = θ`` (two bidiagonal substitutions through
     the same factor) and ``b_k = μ_{k+1} − A_k μ_k``.
     """
+    from ..ops.btd import affine_scan, btd_udu_parallel_1d
+
     prec = BTD(diag=-2.0 * theta_diag, sub=-theta_sub)
-    d_blocks, u_super = btd_udu(prec)
+    d = theta_linear.shape[-1]
+    if d == 1:
+        # O(log N)-depth Möbius-scan fast path for the CVI hot loop
+        d_blocks, u_super = btd_udu_parallel_1d(prec)
+    else:
+        d_blocks, u_super = btd_udu(prec)
     a_s = -transpose_last(u_super)
 
     chols_dinv = jnp.linalg.cholesky(d_blocks)  # chol of D_k (precisions)
-    eye = jnp.eye(theta_linear.shape[-1], dtype=theta_linear.dtype)
+    eye = jnp.eye(d, dtype=theta_linear.dtype)
     covs = cho_solve(chols_dinv, jnp.broadcast_to(eye, chols_dinv.shape))
     chol_covs = jnp.linalg.cholesky(covs)
     chol_p0 = chol_covs[..., 0, :, :]
     chol_qs = chol_covs[..., 1:, :, :]
 
-    # μ = K⁻¹θ via U z = θ (backward), w = D⁻¹ z, Uᵀ μ = w (forward)
-    th_t = jnp.moveaxis(theta_linear, -2, 0)
-    u_t = jnp.moveaxis(u_super, -3, 0)
-
-    def bwd(z_next, inputs):
-        u_k, th_k = inputs
-        z_k = th_k - jnp.einsum("...ij,...j->...i", u_k, z_next)
-        return z_k, z_k
-
-    _, z_rest = lax.scan(bwd, th_t[-1], (u_t, th_t[:-1]), reverse=True)
-    z = jnp.concatenate([z_rest, th_t[-1][None]], axis=0)
-    w = jnp.einsum(
-        "t...ij,t...j->t...i", jnp.moveaxis(covs, -3, 0), z
-    )
-
-    def fwd(x_prev, inputs):
-        u_k, w_k = inputs
-        x_k = w_k - jnp.einsum("...ji,...j->...i", u_k, x_prev)
-        return x_k, x_k
-
-    _, mu_rest = lax.scan(fwd, w[0], (u_t, w[1:]))
-    mu = jnp.moveaxis(jnp.concatenate([w[0][None], mu_rest], axis=0), 0, -2)
+    # μ = K⁻¹θ via U z = θ (backward), w = D⁻¹ z, Uᵀ μ = w (forward) —
+    # both bidiagonal substitutions are affine recursions → parallel scans
+    z_rest = affine_scan(-u_super, theta_linear[..., :-1, :], theta_linear[..., -1, :], reverse=True)
+    z = jnp.concatenate([z_rest, theta_linear[..., -1:, :]], axis=-2)
+    w = jnp.einsum("...ij,...j->...i", covs, z)
+    mu_rest = affine_scan(-transpose_last(u_super), w[..., 1:, :], w[..., 0, :])
+    mu = jnp.concatenate([w[..., :1, :], mu_rest], axis=-2)
 
     offsets = mu[..., 1:, :] - jnp.einsum("...ij,...j->...i", a_s, mu[..., :-1, :])
     return a_s, offsets, chol_p0, chol_qs, mu[..., 0, :]
