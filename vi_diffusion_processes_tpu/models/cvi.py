@@ -55,6 +55,28 @@ class GaussianSites(NamedTuple):
         return cls(nat1=jnp.zeros_like(observations), nat2=nat2)
 
 
+def sites_log_likelihood(dist_p: StateSpaceModel, sites: GaussianSites, emission) -> jnp.ndarray:
+    """``log p(ỹ)`` of the site-augmented conjugate model — matches the
+    reference's ``KalmanFilterWithSites.log_likelihood``
+    (kalman_filter.py:440-500): sites are pseudo Gaussian observations
+    ``ỹ = R̃θ₁`` with ``R̃ = (−2θ₂)⁻¹``, so the generic site normalizer is
+    shifted by the per-site Gaussian normalization constants."""
+    nat1, prec = back_project_nats(sites, emission.emission_matrix)
+    filt = parallel_filter(dist_p, nat1, prec)
+    log_z = site_log_normalizer(filt, nat1, prec)
+
+    m = sites.nat2.shape[-1]
+    site_prec_f = -2.0 * sites.nat2  # [..., N, m, m], PD
+    chol = jnp.linalg.cholesky(site_prec_f)
+    alpha = jax.scipy.linalg.cho_solve((chol, True), sites.nat1[..., None])[..., 0]
+    quad = jnp.einsum("...i,...i->...", sites.nat1, alpha)
+    logdet = 2.0 * jnp.sum(
+        jnp.log(jnp.abs(jnp.diagonal(chol, axis1=-2, axis2=-1))), axis=-1
+    )
+    constants = -0.5 * quad + 0.5 * logdet - 0.5 * m * jnp.log(2.0 * jnp.pi)
+    return log_z + jnp.sum(constants, axis=-1)
+
+
 def back_project_nats(sites: GaussianSites, emission_matrix: jnp.ndarray):
     """f-space site naturals → state-space information sites
     (variational_cvi.py:423-446): ``θ = Hᵀθ₁``, ``Λ = Hᵀ(−2θ₂)H``."""
@@ -155,28 +177,8 @@ class CVIGaussianProcess:
     # ------------------------------------------------------------------ elbo
     def log_likelihood(self) -> jnp.ndarray:
         """Marginal likelihood of the site-augmented conjugate model
-        (= ``elbo()``, variational_cvi.py:370-379).
-
-        Matches the reference's ``KalmanFilterWithSites.log_likelihood``
-        (kalman_filter.py:440-500): the sites are interpreted as pseudo
-        Gaussian observations ``ỹ = R̃θ₁`` with ``R̃ = (−2θ₂)⁻¹``, so the
-        generic site normalizer is shifted by the per-site Gaussian
-        normalization constants.
-        """
-        nat1, prec = self._state_sites()
-        filt = parallel_filter(self.dist_p, nat1, prec)
-        log_z = site_log_normalizer(filt, nat1, prec)
-
-        m = self.sites.nat2.shape[-1]
-        site_prec_f = -2.0 * self.sites.nat2  # [..., N, m, m], PD
-        chol = jnp.linalg.cholesky(site_prec_f)
-        alpha = jax.scipy.linalg.cho_solve((chol, True), self.sites.nat1[..., None])[..., 0]
-        quad = jnp.einsum("...i,...i->...", self.sites.nat1, alpha)
-        logdet = 2.0 * jnp.sum(
-            jnp.log(jnp.abs(jnp.diagonal(chol, axis1=-2, axis2=-1))), axis=-1
-        )
-        constants = -0.5 * quad + 0.5 * logdet - 0.5 * m * jnp.log(2.0 * jnp.pi)
-        return log_z + jnp.sum(constants, axis=-1)
+        (= ``elbo()``, variational_cvi.py:370-379)."""
+        return sites_log_likelihood(self.dist_p, self.sites, self._emission())
 
     def elbo(self) -> jnp.ndarray:
         return self.log_likelihood()

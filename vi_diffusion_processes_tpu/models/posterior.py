@@ -55,36 +55,53 @@ class ConditionalProcess:
             f_means = f_means + self.mean_function(new_time_points)
         return f_means, f_covs
 
-    def sample_state(
+    def sample_state_trajectories(
         self, new_time_points: jnp.ndarray, key: jax.Array, sample_shape: Tuple[int, ...] = ()
-    ) -> jnp.ndarray:
-        """Joint posterior samples at new time points (posterior.py:260-377).
+    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """Joint posterior samples via Matheron delta correction
+        (posterior.py:260-377):
 
-        Matheron-style: sample the conditioning states jointly from ``dist``,
-        then sample each new point from ``p(x_t | x₋, x₊)`` — exact because
-        new points are conditionally independent given the pair states.
+        1. sample conditioning states ``u* ~ q(u)`` (parallel joint scan),
+        2. sample a *prior* trajectory over the union grid → ``(s̃, ũ)``,
+        3. correct: ``s* = s̃ + P·(u*_pair − ũ_pair)`` where P are the Markov
+           two-sided conditional projections — exact because
+           ``E[s|u]`` depends only on the neighbouring pair.
+
+        Returns ``(samples_s [*S, M, d], samples_u [*S, N+1, d])``.
+        Unbatched conditioning grids only (like the reference).
         """
         from ..ssm.conditionals import conditional_statistics
 
         k1, k2 = jax.random.split(key)
-        # joint sample of conditioning states: [*S, ..., N+1, d]
-        cond_samples = self.dist.sample(k1, sample_shape)
-        p, t, indices = conditional_statistics(
-            new_time_points, self.conditioning_time_points, self.kernel
-        )
-        batch_shape = self.conditioning_time_points.shape[:-1]
-        prior_mean = self.kernel.initial_mean(batch_shape).astype(new_time_points.dtype)
-        # pairwise samples, prior-extended with the prior *mean* at both ends
-        im = jnp.broadcast_to(prior_mean, cond_samples.shape[:-2] + (1, prior_mean.shape[-1]))
-        ext = jnp.concatenate([im, cond_samples, im], axis=-2)
-        pairs = jnp.concatenate([ext[..., :-1, :], ext[..., 1:, :]], axis=-1)
-        pair_states = jnp.take(pairs, indices, axis=-2)
-        cond_mean = jnp.einsum("...ij,...j->...i", p, pair_states)
-        chol_t = jnp.linalg.cholesky(
-            t + 1e-12 * jnp.eye(t.shape[-1], dtype=t.dtype)
-        )
-        eps = jax.random.normal(k2, cond_mean.shape, cond_mean.dtype)
-        return cond_mean + jnp.einsum("...ij,...j->...i", chol_t, eps)
+        u_post = self.dist.sample(k1, sample_shape)  # [*S, N+1, d]
+
+        cond_tp = self.conditioning_time_points
+        m_new = new_time_points.shape[-1]
+        union = jnp.concatenate([cond_tp, new_time_points])
+        order = jnp.argsort(union)
+        inv_order = jnp.argsort(order)
+        prior_union = self.kernel.state_space_model(union[order])
+        prior_samples_sorted = prior_union.sample(k2, sample_shape)
+        prior_samples = jnp.take(prior_samples_sorted, inv_order, axis=-2)
+        u_prior = prior_samples[..., : cond_tp.shape[-1], :]
+        s_prior = prior_samples[..., cond_tp.shape[-1] :, :]
+
+        p, _, indices = conditional_statistics(new_time_points, cond_tp, self.kernel)
+
+        def pairs_of(u):
+            zeros = jnp.zeros_like(u[..., :1, :])
+            ext = jnp.concatenate([zeros, u, zeros], axis=-2)
+            pr = jnp.concatenate([ext[..., :-1, :], ext[..., 1:, :]], axis=-1)
+            return jnp.take(pr, indices, axis=-2)
+
+        delta = pairs_of(u_post) - pairs_of(u_prior)
+        s_post = s_prior + jnp.einsum("...ij,...j->...i", p, delta)
+        return s_post, u_post
+
+    def sample_state(
+        self, new_time_points: jnp.ndarray, key: jax.Array, sample_shape: Tuple[int, ...] = ()
+    ) -> jnp.ndarray:
+        return self.sample_state_trajectories(new_time_points, key, sample_shape)[0]
 
     def sample_f(self, new_time_points, key, sample_shape=()):
         states = self.sample_state(new_time_points, key, sample_shape)

@@ -256,6 +256,21 @@ class StateSpaceModel:
         per_step = 0.5 * (trace - d + logdet_p - logdet_q + quad_cov + quad_mean)
         return kl0 + jnp.sum(per_step, axis=-1)
 
+    def normalizer(self) -> jnp.ndarray:
+        """Log-partition of the Gaussian in natural form
+        (state_space_model.py:595-609):
+
+            ``½ (D·log 2π − log|K| + μᵀKμ)``.
+        """
+        from ..ops.btd import btd_matvec
+
+        dim = (self.num_transitions + 1) * self.state_dim
+        cst = dim * jnp.log(2.0 * jnp.pi).astype(self.initial_mean.dtype)
+        means, _ = self.marginals()
+        k_mu = btd_matvec(self.precision(), means)
+        maha = jnp.sum(means * k_mu, axis=(-1, -2))
+        return 0.5 * (cst - self.log_det_precision() + maha)
+
     # -------------------------------------------------------------- precision
     def precision(self) -> BTD:
         """Assemble the block-tridiagonal precision ``K = A⁻ᵀ Q⁻¹ A⁻¹``.
