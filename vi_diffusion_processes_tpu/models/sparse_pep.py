@@ -1,0 +1,262 @@
+"""Sparse Power Expectation Propagation: pair sites on inducing states.
+
+Equivalent of markovflow/models/sparse_pep.py:41
+(``SparsePowerExpectationPropagation``) — the reference's most intricate
+model: sites live on consecutive inducing-state pairs ``v_m = [u_m, u_{m+1}]``,
+and each datum in an interval owns an α/c(m) *fraction* of its site
+(fraction bookkeeping at sparse_pep.py:176).
+
+TPU-native notes: the per-interval leave-fraction-out normalizers (the
+reference loops ``num_partition`` posterior builds in Python,
+sparse_pep.py:489-520) are computed with one ``jax.vmap`` over the tiled
+site tensors — M+1 posterior factorizations in a single batched scan.
+"""
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from ..likelihoods.pep import PEPScalarLikelihood, gradient_correction
+from ..ssm.conditionals import (
+    base_conditional_predict,
+    conditional_statistics,
+    pairwise_marginals,
+)
+from ..ssm.mean_functions import MeanFunction
+from ..ssm.state_space_model import StateSpaceModel
+from ..ssm.transforms import naturals_to_ssm
+from ..utils.linalg import transpose_last
+from .posterior import AnalyticPosteriorProcess
+
+__all__ = ["SparsePowerExpectationPropagation"]
+
+
+@struct.dataclass
+class SparsePowerExpectationPropagation:
+    """Sparse PEP state: pair-site naturals + per-site log normalizers."""
+
+    kernel: object
+    likelihood: PEPScalarLikelihood
+    inducing_points: jnp.ndarray
+    nat1: jnp.ndarray  # [M+1, 2d]
+    nat2: jnp.ndarray  # [M+1, 2d, 2d]
+    log_norm: jnp.ndarray  # [M+1, 1]
+    mean_function: Optional[MeanFunction] = None
+    alpha: float = struct.field(pytree_node=False, default=1.0)
+    learning_rate: float = struct.field(pytree_node=False, default=1.0)
+
+    @classmethod
+    def initialize(
+        cls, kernel, likelihood, inducing_points, mean_function=None,
+        alpha=1.0, learning_rate=1.0,
+    ) -> "SparsePowerExpectationPropagation":
+        m = inducing_points.shape[0]
+        d = kernel.state_dim
+        dtype = inducing_points.dtype
+        eye = jnp.eye(2 * d, dtype=dtype)
+        return cls(
+            kernel=kernel,
+            likelihood=likelihood,
+            inducing_points=inducing_points,
+            nat1=jnp.zeros((m + 1, 2 * d), dtype),
+            nat2=-1e-10 * jnp.broadcast_to(eye, (m + 1, 2 * d, 2 * d)),
+            log_norm=jnp.zeros((m + 1, 1), dtype),
+            mean_function=mean_function,
+            alpha=alpha,
+            learning_rate=learning_rate,
+        )
+
+    # ------------------------------------------------------------- structure
+    @property
+    def dist_p(self) -> StateSpaceModel:
+        return self.kernel.state_space_model(self.inducing_points)
+
+    def _posterior_ssm(self, nat1, nat2) -> StateSpaceModel:
+        """Prior naturals + summed overlapping pair-site blocks
+        (sparse_pep.py:430-460, same algebra as SparseCVI)."""
+        d = self.kernel.state_dim
+        prec = self.dist_p.precision()
+        nat1_diag = nat1[..., 1:, :d] + nat1[..., :-1, d:]
+        nat2_diag = nat2[..., 1:, :d, :d] + nat2[..., :-1, d:, d:]
+        nat2_sub = nat2[..., 1:-1, d:, :d]
+        theta_diag = -0.5 * prec.diag + nat2_diag
+        theta_sub = -prec.sub + 2.0 * nat2_sub
+        return naturals_to_ssm(nat1_diag, theta_diag, theta_sub)
+
+    @property
+    def dist_q(self) -> StateSpaceModel:
+        return self._posterior_ssm(self.nat1, self.nat2)
+
+    @property
+    def posterior(self) -> AnalyticPosteriorProcess:
+        return AnalyticPosteriorProcess(
+            dist=self.dist_q,
+            kernel=self.kernel,
+            conditioning_time_points=self.inducing_points,
+            mean_function=self.mean_function,
+            likelihood=self.likelihood,
+        )
+
+    # --------------------------------------------------------------- helpers
+    def _indices(self, time_points):
+        return jnp.searchsorted(self.inducing_points, time_points)
+
+    def fraction_sites(self, time_points) -> jnp.ndarray:
+        """``1/c(m)`` per interval, 0 for empty intervals
+        (sparse_pep.py:176-200)."""
+        m = self.inducing_points.shape[0]
+        counts = jax.ops.segment_sum(
+            jnp.ones_like(time_points), self._indices(time_points), num_segments=m + 1
+        )
+        return jnp.where(counts > 0, 1.0 / jnp.maximum(counts, 1.0), 0.0)
+
+    def compute_marginals(self):
+        """Prior-extended pairwise marginals of q(u) (sparse_pep.py:222-233)."""
+        return pairwise_marginals(
+            self.dist_q,
+            self.kernel.initial_mean(()).astype(self.inducing_points.dtype),
+            self.kernel.initial_covariance(self.inducing_points[:1]),
+        )
+
+    def remove_cavity_from_marginals(self, time_points, marginals):
+        """Per-datum cavity: pairwise naturals − α·fraction·site naturals,
+        then condition the new state on the cavity pair
+        (sparse_pep.py:235-314)."""
+        pw_means, pw_covs = marginals
+        d2 = pw_covs.shape[-1]
+        eye = jnp.eye(d2, dtype=pw_covs.dtype)
+        pw_prec = jnp.linalg.solve(pw_covs, jnp.broadcast_to(eye, pw_covs.shape))
+        pw_nat2 = -0.5 * pw_prec
+        pw_nat1 = jnp.einsum("...ij,...j->...i", pw_prec, pw_means)
+
+        idx = self._indices(time_points)
+        fractions = self.fraction_sites(time_points)[idx]
+        cav_nat1 = pw_nat1[idx] - self.alpha * fractions[..., None] * self.nat1[idx]
+        cav_nat2 = pw_nat2[idx] - self.alpha * fractions[..., None, None] * self.nat2[idx]
+
+        cav_prec = -2.0 * cav_nat2
+        cav_covs = jnp.linalg.solve(cav_prec, jnp.broadcast_to(eye, cav_prec.shape))
+        cav_means = jnp.einsum("...ij,...j->...i", cav_covs, cav_nat1)
+
+        p, t, _ = conditional_statistics(time_points, self.inducing_points, self.kernel)
+        return base_conditional_predict(p, t, cav_means, cav_covs)
+
+    def compute_cavity(self, time_points):
+        sx_mus, sx_covs = self.remove_cavity_from_marginals(
+            time_points, self.compute_marginals()
+        )
+        emission = self.kernel.generate_emission_model(time_points)
+        return emission.project_state_marginals_to_f(sx_mus, sx_covs)
+
+    def local_objective_gradients(self, fx_mus, fx_covs, y, alpha=None):
+        obj, grads = self.likelihood.grad_log_expected_density(
+            fx_mus, fx_covs, y, alpha=alpha or self.alpha
+        )
+        return obj, gradient_correction((fx_mus, fx_covs), grads)
+
+    # ----------------------------------------------------------------- update
+    def compute_new_sites(self, input_data) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """(sparse_pep.py:316-368)."""
+        time_points, observations = input_data
+        fx_mus, fx_covs = self.compute_cavity(time_points)
+        y = observations
+        if self.mean_function is not None:
+            y = y - self.mean_function(time_points)
+        _, (g1, g2) = self.local_objective_gradients(fx_mus, fx_covs, y)
+
+        h = self.kernel.generate_emission_model(time_points).emission_matrix
+        p, _, idx = conditional_statistics(time_points, self.inducing_points, self.kernel)
+        hp = h @ p  # [n, 1, 2d]
+        theta1 = jnp.einsum("nij,ni->nj", hp, g1)
+        theta2 = jnp.einsum("ni,nij,nik->njk", g2, hp, hp)
+
+        m = self.inducing_points.shape[0]
+        summed1 = jax.ops.segment_sum(theta1, idx, num_segments=m + 1)
+        summed2 = jax.ops.segment_sum(theta2, idx, num_segments=m + 1)
+
+        a, lr = self.alpha, self.learning_rate
+        pep_nat1 = self.nat1 * (1 - a) + summed1 * a
+        pep_nat2 = self.nat2 * (1 - a) + summed2 * a
+        return (
+            self.nat1 * (1 - lr) + pep_nat1 * lr,
+            self.nat2 * (1 - lr) + pep_nat2 * lr,
+        )
+
+    def compute_num_data_per_interval(self, time_points):
+        m = self.inducing_points.shape[0]
+        return jax.ops.segment_sum(
+            jnp.ones_like(time_points), self._indices(time_points), num_segments=m + 1
+        )
+
+    def compute_log_norm(self, input_data) -> jnp.ndarray:
+        """Per-interval site normalizers (sparse_pep.py:370-448).
+
+        The leave-fraction-out marginal normalizers are vmapped over the
+        M+1 intervals (the reference loops them eagerly)."""
+        time_points, observations = input_data
+        fx_mus, fx_covs = self.compute_cavity(time_points)
+        y = observations
+        if self.mean_function is not None:
+            y = y - self.mean_function(time_points)
+        obj, _ = self.local_objective_gradients(fx_mus, fx_covs, y, alpha=self.alpha)
+
+        m = self.inducing_points.shape[0]
+        num_partition = m + 1
+        log_norm_marg = self.dist_q.normalizer()
+
+        neighbours = self.compute_num_data_per_interval(time_points)
+        frac_one = jnp.where(neighbours > 0, 1.0 / jnp.maximum(neighbours, 1.0), 0.0)
+        diag = jnp.eye(num_partition, dtype=self.nat1.dtype) * (frac_one * self.alpha)
+
+        nat1_all = self.nat1[None] * (1.0 - diag[..., None])
+        nat2_all = self.nat2[None] * (1.0 - diag[..., None, None])
+        log_norm_cav = jax.vmap(
+            lambda n1, n2: self._posterior_ssm(n1, n2).normalizer()
+        )(nat1_all, nat2_all)
+
+        idx = self._indices(time_points)
+        log_norm = obj + log_norm_cav[idx] - log_norm_marg
+        summed = jax.ops.segment_sum(log_norm[..., None], idx, num_segments=num_partition)
+        return summed / self.alpha
+
+    def update_sites(self, input_data) -> "SparsePowerExpectationPropagation":
+        """(sparse_pep.py:451-461)."""
+        nat1, nat2 = self.compute_new_sites(input_data)
+        model = self.replace(nat1=nat1, nat2=nat2)
+        a, lr = self.alpha, self.learning_rate
+        log_norm = model.compute_log_norm(input_data)
+        pep_log_norm = model.log_norm * (1 - a) + log_norm * a
+        return model.replace(log_norm=model.log_norm * (1 - lr) + pep_log_norm * lr)
+
+    # ----------------------------------------------------------------- energy
+    def energy(self, input_data) -> jnp.ndarray:
+        """(sparse_pep.py:462-470)."""
+        log_norm = self.compute_log_norm(input_data)
+        return (
+            self.dist_q.normalizer()
+            - self.dist_p.normalizer()
+            + jnp.sum(log_norm)
+        )
+
+    def elbo(self, input_data) -> jnp.ndarray:
+        return self.classic_elbo(input_data)
+
+    def classic_elbo(self, input_data) -> jnp.ndarray:
+        """(sparse_pep.py:489-520)."""
+        x, y = input_data
+        f_mu, f_var = self.posterior.predict_f(x)
+        if self.mean_function is not None:
+            y = y - self.mean_function(x)
+        ve = jnp.sum(self.likelihood.variational_expectations(f_mu, f_var, y))
+        return ve - jnp.sum(self.dist_q.kl_divergence(self.dist_p))
+
+    def loss(self, input_data) -> jnp.ndarray:
+        return -self.elbo(input_data)
+
+    def predict_log_density(self, input_data) -> jnp.ndarray:
+        x, y = input_data
+        f_mu, f_var = self.posterior.predict_f(x)
+        return self.likelihood.predict_density(f_mu, f_var, y)
