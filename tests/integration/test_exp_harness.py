@@ -1,0 +1,50 @@
+"""End-to-end experiment harness test (layer 8)."""
+import jax.numpy as jnp
+import numpy as np
+
+from vi_diffusion_processes_tpu.exp.runners import ExperimentConfig, make_dataset, run_cvi_dp, run_vdp
+
+
+def small_config(**kw):
+    base = dict(
+        prior_sde="dw",
+        q=0.8,
+        t1=2.0,
+        num_grid=101,
+        num_observations=20,
+        noise_stddev=0.2,
+        max_inner_iters=8,
+        max_outer_iters=3,
+    )
+    base.update(kw)
+    return ExperimentConfig(**base)
+
+
+def test_dataset_generation():
+    ds = make_dataset(small_config())
+    assert ds.latent_path.shape == (101, 1)
+    assert len(ds.obs_times) == 16 and len(ds.test_times) == 4
+    assert np.all(np.diff(np.asarray(ds.obs_times)) > 0)
+
+
+def test_run_cvi_dp_end_to_end():
+    config = small_config()
+    out = run_cvi_dp(config)
+    assert np.isfinite(out["nlpd"]) and np.isfinite(out["rmse"])
+    assert out["elbos"][-1] >= out["elbos"][0] - 1e-6
+    # posterior should beat the trivial zero predictor
+    ds = make_dataset(config)
+    baseline_rmse = float(jnp.sqrt(jnp.mean(ds.test_values**2)))
+    assert out["rmse"] < baseline_rmse
+
+
+def test_run_vdp_end_to_end():
+    out = run_vdp(small_config(vdp_lr=0.02))
+    assert np.isfinite(out["nlpd"]) and np.isfinite(out["rmse"])
+
+
+def test_run_cvi_dp_learn_prior():
+    config = small_config(learn_prior_sde=True, max_outer_iters=2, max_inner_iters=5)
+    out = run_cvi_dp(config)
+    # the drift parameters moved
+    assert float(out["learned_prior_sde"].scale) != 4.0 or float(out["learned_prior_sde"].c) != 1.0
