@@ -30,60 +30,17 @@ from ..parallel.pskf import (
     posterior_ssm_from_smoothed,
     site_log_normalizer,
 )
+from ..parallel.sites import (  # noqa: F401  (canonical home; re-exported here)
+    GaussianSites,
+    back_project_nats,
+    sites_log_likelihood,
+)
 from ..ssm.mean_functions import MeanFunction
 from ..ssm.state_space_model import StateSpaceModel
 from ..utils.linalg import transpose_last
 from .posterior import AnalyticPosteriorProcess
 
-__all__ = ["GaussianSites", "CVIGaussianProcess", "back_project_nats"]
-
-
-class GaussianSites(NamedTuple):
-    """f-space sites in natural form (kalman_filter.py:382-437 equivalent).
-
-    ``nat1: [..., N, m]``, ``nat2: [..., N, m, m]`` (≤ 0 definite).
-    """
-
-    nat1: jnp.ndarray
-    nat2: jnp.ndarray
-
-    @classmethod
-    def zeros_like_observations(cls, observations: jnp.ndarray) -> "GaussianSites":
-        m = observations.shape[-1]
-        eye = jnp.eye(m, dtype=observations.dtype)
-        nat2 = jnp.broadcast_to(-1e-10 * eye, observations.shape + (m,))
-        return cls(nat1=jnp.zeros_like(observations), nat2=nat2)
-
-
-def sites_log_likelihood(dist_p: StateSpaceModel, sites: GaussianSites, emission) -> jnp.ndarray:
-    """``log p(ỹ)`` of the site-augmented conjugate model — matches the
-    reference's ``KalmanFilterWithSites.log_likelihood``
-    (kalman_filter.py:440-500): sites are pseudo Gaussian observations
-    ``ỹ = R̃θ₁`` with ``R̃ = (−2θ₂)⁻¹``, so the generic site normalizer is
-    shifted by the per-site Gaussian normalization constants."""
-    nat1, prec = back_project_nats(sites, emission.emission_matrix)
-    filt = parallel_filter(dist_p, nat1, prec)
-    log_z = site_log_normalizer(filt, nat1, prec)
-
-    m = sites.nat2.shape[-1]
-    site_prec_f = -2.0 * sites.nat2  # [..., N, m, m], PD
-    chol = jnp.linalg.cholesky(site_prec_f)
-    alpha = jax.scipy.linalg.cho_solve((chol, True), sites.nat1[..., None])[..., 0]
-    quad = jnp.einsum("...i,...i->...", sites.nat1, alpha)
-    logdet = 2.0 * jnp.sum(
-        jnp.log(jnp.abs(jnp.diagonal(chol, axis1=-2, axis2=-1))), axis=-1
-    )
-    constants = -0.5 * quad + 0.5 * logdet - 0.5 * m * jnp.log(2.0 * jnp.pi)
-    return log_z + jnp.sum(constants, axis=-1)
-
-
-def back_project_nats(sites: GaussianSites, emission_matrix: jnp.ndarray):
-    """f-space site naturals → state-space information sites
-    (variational_cvi.py:423-446): ``θ = Hᵀθ₁``, ``Λ = Hᵀ(−2θ₂)H``."""
-    h = emission_matrix
-    nat1 = jnp.einsum("...ji,...j->...i", h, sites.nat1)
-    prec = transpose_last(h) @ (-2.0 * sites.nat2) @ h
-    return nat1, prec
+__all__ = ["GaussianSites", "CVIGaussianProcess", "back_project_nats", "sites_log_likelihood"]
 
 
 @struct.dataclass

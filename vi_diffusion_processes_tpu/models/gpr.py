@@ -12,6 +12,7 @@ from typing import Optional, Tuple
 import jax.numpy as jnp
 from flax import struct
 
+from ..parallel.sites import gaussian_observation_sites  # noqa: F401
 from ..parallel.pskf import (
     filter_smoother_with_sites,
     parallel_filter,
@@ -25,30 +26,6 @@ from .posterior import AnalyticPosteriorProcess
 __all__ = ["GaussianProcessRegression", "gaussian_observation_sites"]
 
 _LOG2PI = float(jnp.log(2.0 * jnp.pi))
-
-
-def gaussian_observation_sites(
-    emission_matrix: jnp.ndarray, chol_obs_covariance: jnp.ndarray, observations: jnp.ndarray
-) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """Convert Gaussian observations into information-form state sites.
-
-    ``Λ_k = H_kᵀ R⁻¹ H_k``, ``θ_k = H_kᵀ R⁻¹ y_k``, plus the per-datum
-    constants ``−½ y_kᵀR⁻¹y_k − ½ log|2πR|`` that turn the generic site
-    normalizer into ``log p(y)`` (kalman_filter.py:184-255 equivalence).
-    """
-    h = emission_matrix
-    m = h.shape[-2]
-    rinv_h = cho_solve(chol_obs_covariance, h)
-    nat2 = transpose_last(h) @ rinv_h
-    rinv_y = cho_solve(chol_obs_covariance, observations[..., None])[..., 0]
-    nat1 = jnp.einsum("...ji,...j->...i", h, rinv_y)
-    log_det_r = 2.0 * jnp.sum(
-        jnp.log(jnp.abs(jnp.diagonal(chol_obs_covariance, axis1=-2, axis2=-1))), axis=-1
-    )
-    constants = -0.5 * (
-        jnp.einsum("...i,...i->...", observations, rinv_y) + m * _LOG2PI + log_det_r
-    )
-    return nat1, nat2, constants
 
 
 @struct.dataclass

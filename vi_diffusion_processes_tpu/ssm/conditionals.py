@@ -49,6 +49,45 @@ def _conditional_statistics_from_transitions(a_mt, q_mt, a_tp, q_tp):
     return d, e, t
 
 
+def _conditional_precision_from_transitions(a_mt, q_mt, a_tp, q_tp):
+    """``(D, E, T⁻¹)`` with the conditional *precision*
+    ``T⁻¹ = Q₋ₜ⁻¹ + Aₜ₊ᵀQₜ₊⁻¹Aₜ₊`` (conditionals.py:169-193,
+    return_precision=True branch)."""
+    from ..utils.linalg import cho_solve
+
+    d, e, _ = _conditional_statistics_from_transitions(a_mt, q_mt, a_tp, q_tp)
+    eye = jnp.eye(a_mt.shape[-1], dtype=a_mt.dtype)
+    q_mt_inv = cho_solve(jnp.linalg.cholesky(q_mt), jnp.broadcast_to(eye, q_mt.shape))
+    l_tp_inv_a = tri_solve(jnp.linalg.cholesky(q_tp), a_tp)
+    t_inv = q_mt_inv + transpose_last(l_tp_inv_a) @ l_tp_inv_a
+    return d, e, t_inv
+
+
+def cyclic_reduction_conditional_statistics(
+    explained_time_points: jnp.ndarray, conditioning_time_points: jnp.ndarray, kernel
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Cyclic-reduction conditioning factors ``(F, G, L)``
+    (conditionals.py:258-377): for interleaved explained/conditioning grids,
+    ``p(xᵉₜ|xᶜₜ₋₁, xᶜₜ₊₁) = N(Fₜxᶜₜ₋₁ + Gₜxᶜₜ₊₁, (LLᵀ)⁻¹)`` — the natural
+    seed of a fully parallel-in-time conditioning scheme (SURVEY.md §5)."""
+    dtype = explained_time_points.dtype
+    n_exp = explained_time_points.shape[-1]
+    n_cond = conditioning_time_points.shape[-1]
+    inf = jnp.asarray([APPROX_INF], dtype)
+    augmented = jnp.concatenate([-inf, conditioning_time_points, inf])
+    left = augmented[:n_exp]
+    right = augmented[1 : n_exp + 1]
+    a_mt, q_mt = kernel.transition_statistics(left, explained_time_points - left)
+    a_tp, q_tp = kernel.transition_statistics(
+        explained_time_points, right - explained_time_points
+    )
+    d, e, t_inv = _conditional_precision_from_transitions(a_mt, q_mt, a_tp, q_tp)
+    l = jnp.linalg.cholesky(t_inv)
+    f = -transpose_last(e) @ l
+    g = -transpose_last(d) @ l
+    return f[..., 1:, :, :], g[..., :n_cond, :, :], l
+
+
 def conditional_statistics(
     new_time_points: jnp.ndarray, training_time_points: jnp.ndarray, kernel
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
