@@ -36,7 +36,7 @@ import jax.numpy as jnp
 from jax import lax
 
 from ..ssm.state_space_model import StateSpaceModel
-from ..utils.linalg import symmetrize, transpose_last
+from ..utils.linalg import chol_psd, solve_small, symmetrize, transpose_last
 
 __all__ = [
     "FilterResult",
@@ -61,7 +61,7 @@ class SmootherResult(NamedTuple):
 
 
 def _solve(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
-    return jnp.linalg.solve(a, b)
+    return solve_small(a, b)
 
 
 # --------------------------------------------------------------------- filter
@@ -286,10 +286,10 @@ def posterior_ssm_from_smoothed(
     a_post = transpose_last(_solve(s_k, cross))
     b_post = m[..., 1:, :] - jnp.einsum("...ij,...j->...i", a_post, m[..., :-1, :])
     q_post = symmetrize(s_next - a_post @ cross)
-    chol_q = jnp.linalg.cholesky(q_post + jitter * eye)
+    chol_q = chol_psd(q_post + jitter * eye)
     return StateSpaceModel(
         initial_mean=m[..., 0, :],
-        chol_initial_covariance=jnp.linalg.cholesky(s[..., 0, :, :] + jitter * eye),
+        chol_initial_covariance=chol_psd(s[..., 0, :, :] + jitter * eye),
         state_transitions=a_post,
         state_offsets=b_post,
         chol_process_covariances=chol_q,

@@ -31,6 +31,7 @@ from jax import lax
 
 from ..ops.btd import BTD
 from ..utils.linalg import (
+    chol_psd,
     cho_solve,
     gaussian_kl,
     mvn_logpdf,
@@ -314,7 +315,7 @@ def ssm_from_covariances(
     def chol_or_zero(cov):
         is_zero = jnp.all(cov == 0.0, axis=(-1, -2), keepdims=True)
         safe = jnp.where(is_zero, eye, cov + jitter * eye)
-        chol = jnp.linalg.cholesky(safe)
+        chol = chol_psd(safe)
         return jnp.where(is_zero, jnp.zeros_like(chol), chol)
 
     return StateSpaceModel(

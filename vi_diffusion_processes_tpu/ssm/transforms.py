@@ -30,7 +30,7 @@ import jax.numpy as jnp
 from jax import lax
 
 from ..ops.btd import BTD, btd_udu
-from ..utils.linalg import cho_solve, transpose_last, tri_solve
+from ..utils.linalg import cho_solve, chol_psd, transpose_last, tri_solve
 from .state_space_model import StateSpaceModel
 
 __all__ = [
@@ -64,13 +64,13 @@ def expectations_to_ssm_params(eta_linear, eta_diag, eta_sub):
     covs = eta_diag - mu[..., :, None] * mu[..., None, :]
     # Σ_{k,k+1} = Σ_k A_{k+1}ᵀ  (upper cross-block)
     covs_upper = transpose_last(eta_sub) - mu[..., :-1, :, None] * mu[..., 1:, None, :]
-    chols = jnp.linalg.cholesky(covs)
+    chols = chol_psd(covs)
     a_s = transpose_last(cho_solve(chols[..., :-1, :, :], covs_upper))
     initial_mean = mu[..., 0, :]
     chol_p0 = chols[..., 0, :, :]
     offsets = mu[..., 1:, :] - jnp.einsum("...ij,...j->...i", a_s, mu[..., :-1, :])
     cond_covs = covs[..., 1:, :, :] - a_s @ covs[..., :-1, :, :] @ transpose_last(a_s)
-    chol_qs = jnp.linalg.cholesky(cond_covs)
+    chol_qs = chol_psd(cond_covs)
     return a_s, offsets, chol_p0, chol_qs, initial_mean
 
 
@@ -154,10 +154,10 @@ def naturals_to_ssm_params(theta_linear, theta_diag, theta_sub):
         d_blocks, u_super = btd_udu(prec)
     a_s = -transpose_last(u_super)
 
-    chols_dinv = jnp.linalg.cholesky(d_blocks)  # chol of D_k (precisions)
+    chols_dinv = chol_psd(d_blocks)  # chol of D_k (precisions)
     eye = jnp.eye(d, dtype=theta_linear.dtype)
     covs = cho_solve(chols_dinv, jnp.broadcast_to(eye, chols_dinv.shape))
-    chol_covs = jnp.linalg.cholesky(covs)
+    chol_covs = chol_psd(covs)
     chol_p0 = chol_covs[..., 0, :, :]
     chol_qs = chol_covs[..., 1:, :, :]
 
@@ -187,10 +187,10 @@ def naturals_to_ssm_params_no_smoothing(theta_linear, theta_diag, theta_sub):
         ``Q_k = (−2Θ_diag,k)⁻¹``, ``A_k = Q_k Θ_sub,k``, ``b_k = Q_k θ_k``.
     """
     precisions = -2.0 * theta_diag
-    chol_prec = jnp.linalg.cholesky(precisions)
+    chol_prec = chol_psd(precisions)
     eye = jnp.eye(theta_linear.shape[-1], dtype=theta_linear.dtype)
     covs = cho_solve(chol_prec, jnp.broadcast_to(eye, chol_prec.shape))
-    chol_covs = jnp.linalg.cholesky(covs)
+    chol_covs = chol_psd(covs)
     a_s = covs[..., 1:, :, :] @ theta_sub
     bs = jnp.einsum("...ij,...j->...i", covs, theta_linear)
     return (

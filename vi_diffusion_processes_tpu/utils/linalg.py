@@ -65,11 +65,29 @@ def tri_solve(l: jnp.ndarray, b: jnp.ndarray, *, transpose: bool = False) -> jnp
     """Solve ``L x = b`` (or ``Lᵀ x = b``) for lower-triangular ``L``.
 
     Unlike raw ``lax.linalg.triangular_solve``, leading batch dims broadcast.
+    ``d == 1`` blocks short-circuit to a divide — batched triangular solves
+    of 1×1 systems are pathologically slow on TPU.
     """
+    if l.shape[-1] == 1 and b.shape[-2] == 1:
+        return b / l[..., :1, :1]
     l, b = _broadcast_batch(l, b)
     return lax.linalg.triangular_solve(
         l, b, left_side=True, lower=True, transpose_a=transpose
     )
+
+
+def chol_psd(x: jnp.ndarray) -> jnp.ndarray:
+    """Cholesky with a scalar fast path (``sqrt`` for 1×1 blocks)."""
+    if x.shape[-1] == 1:
+        return jnp.sqrt(x)
+    return jnp.linalg.cholesky(x)
+
+
+def solve_small(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """``a⁻¹ b`` with a scalar fast path for 1×1 systems."""
+    if a.shape[-1] == 1 and b.shape[-2] == 1:
+        return b / a[..., :1, :1]
+    return jnp.linalg.solve(a, b)
 
 
 def block_diag(matrices: Sequence[jnp.ndarray]) -> jnp.ndarray:
