@@ -303,28 +303,28 @@ def btd_udu_parallel_1d(k: BTD) -> Tuple[jnp.ndarray, jnp.ndarray]:
     n = kd.shape[-1]
 
     b2 = jnp.concatenate([ks**2, jnp.zeros_like(kd[..., :1])], axis=-1)  # B_N = 0
-    # time-major [N, ..., 2, 2]
-    m = jnp.stack(
-        [
-            jnp.stack([kd, -b2], axis=-1),
-            jnp.stack([jnp.ones_like(kd), jnp.zeros_like(kd)], axis=-1),
-        ],
-        axis=-2,
-    )
-    m_t = jnp.moveaxis(m, -3, 0)
+    # scalar-unpacked 2×2 Möbius matrices M_k = [[kd, −b²], [1, 0]] —
+    # composing via 4 explicit scalar channels keeps the whole scan on the
+    # VPU (batched tiny matmuls are slow on TPU)
+    m00 = jnp.moveaxis(kd, -1, 0)
+    m01 = jnp.moveaxis(-b2, -1, 0)
+    m10 = jnp.ones_like(m00)
+    m11 = jnp.zeros_like(m00)
 
     def compose(a, b):
         # reverse scan: a = later cumulative suffix, b = earlier element;
         # the earlier map applies ON TOP of the suffix: M_b @ M_a
-        prod = b @ a
-        scale = jnp.sqrt(jnp.sum(prod**2, axis=(-1, -2), keepdims=True)) + 1e-300
-        return prod / scale
+        a00, a01, a10, a11 = a
+        b00, b01, b10, b11 = b
+        p00 = b00 * a00 + b01 * a10
+        p01 = b00 * a01 + b01 * a11
+        p10 = b10 * a00 + b11 * a10
+        p11 = b10 * a01 + b11 * a11
+        scale = jnp.sqrt(p00**2 + p01**2 + p10**2 + p11**2) + 1e-300
+        return p00 / scale, p01 / scale, p10 / scale, p11 / scale
 
-    cum = lax.associative_scan(compose, m_t, reverse=True)
-    # D_k = (cum_k @ [1, 0]ᵀ) ratio
-    p = cum[..., 0, 0]
-    q = cum[..., 1, 0]
-    d_scalar = jnp.moveaxis(p / q, 0, -1)  # [..., N]
+    c00, _, c10, _ = lax.associative_scan(compose, (m00, m01, m10, m11), reverse=True)
+    d_scalar = jnp.moveaxis(c00 / c10, 0, -1)  # [..., N]
 
     # U_k = K[k,k+1] / D_{k+1} = B_kᵀ/D_{k+1} (scalar: sub_k / D_{k+1})
     u_scalar = ks / d_scalar[..., 1:]
@@ -339,23 +339,32 @@ def affine_scan(t_mats: jnp.ndarray, c_vecs: jnp.ndarray, x0: jnp.ndarray, *, re
     ``reverse=True``).  Returns all N values (excluding the boundary).
     O(log N) depth — used to parallelize the block-bidiagonal substitutions.
     """
+    d = t_mats.shape[-1]
+    if d == 1:
+        # scalar fast path — keep the scan on the VPU
+        t_t = jnp.moveaxis(t_mats[..., 0, 0], -1, 0)
+        c_t = jnp.moveaxis(c_vecs[..., 0], -1, 0)
+
+        def compose_s(e1, e2):
+            a1, b1 = e1
+            a2, b2 = e2
+            return a2 * a1, a2 * b1 + b2
+
+        ca, cb = lax.associative_scan(compose_s, (t_t, c_t), reverse=reverse)
+        xs = ca * x0[..., 0] + cb
+        return jnp.moveaxis(xs, 0, -1)[..., None]
+
     t_t = jnp.moveaxis(t_mats, -3, 0)
     c_t = jnp.moveaxis(c_vecs, -2, 0)
 
     def compose(e1, e2):
-        # e2 applied after e1 in recursion order
+        # e2 applied after e1 in recursion order (for reverse scans JAX
+        # passes (later-suffix, earlier-element) — same formula applies)
         a1, b1 = e1
         a2, b2 = e2
         return a2 @ a1, jnp.einsum("...ij,...j->...i", a2, b1) + b2
 
-    if not reverse:
-        ca, cb = lax.associative_scan(compose, (t_t, c_t))
-    else:
-        def compose_rev(a, b):
-            # a = later suffix, b = earlier elem; earlier applied after
-            return compose(a, b)
-
-        ca, cb = lax.associative_scan(compose_rev, (t_t, c_t), reverse=True)
+    ca, cb = lax.associative_scan(compose, (t_t, c_t), reverse=reverse)
     xs = jnp.einsum("t...ij,...j->t...i", ca, x0) + cb
     return jnp.moveaxis(xs, 0, -2)
 

@@ -143,11 +143,16 @@ class VDPTrainer:
         for _ in range(self.max_iters):
             candidate = self._step(self.model, lr, self.x0_lr)
             elbo = float(self._elbo(candidate))
-            if jnp.isnan(elbo) or elbo < prev - abs(prev) * 1e-6:
+            if jnp.isnan(elbo):
+                # revert and shrink the step (vi_markov_gp_trainer lr decay)
                 lr *= self.lr_decay
                 if lr < 1e-7:
                     break
                 continue
+            if elbo < prev - abs(prev) * 1e-6:
+                # accept but damp — VDP fixed-point steps transiently
+                # decrease the ELBO (the reference keeps iterating too)
+                lr = max(lr * self.lr_decay, 1e-4)
             self.model = candidate
             self.elbo_trace.append(elbo)
             if abs(elbo - prev) < self.elbo_tol:

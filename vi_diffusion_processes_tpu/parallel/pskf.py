@@ -66,10 +66,30 @@ def _solve(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
 
 # --------------------------------------------------------------------- filter
 def _filter_compose(e_i, e_j):
-    """Associative composition of filtering elements (S&GF 2020, Lemma 7)."""
+    """Associative composition of filtering elements (S&GF 2020, Lemma 7).
+
+    d == 1 short-circuits to scalar arithmetic (VPU-only)."""
     a_i, b_i, c_i, eta_i, j_i = e_i
     a_j, b_j, c_j, eta_j, j_j = e_j
     d = a_i.shape[-1]
+    if d == 1:
+        ai, ci, ji = a_i[..., 0, 0], c_i[..., 0, 0], j_i[..., 0, 0]
+        aj, cj, jj = a_j[..., 0, 0], c_j[..., 0, 0], j_j[..., 0, 0]
+        bi, ei = b_i[..., 0], eta_i[..., 0]
+        bj, ej = b_j[..., 0], eta_j[..., 0]
+        g = 1.0 / (1.0 + ci * jj)
+        a = aj * g * ai
+        b = aj * g * (bi + ci * ej) + bj
+        c = aj * g * ci * aj + cj
+        eta = ai * g * (ej - jj * bi) + ei
+        j = ai * g * jj * ai + ji
+        return (
+            a[..., None, None],
+            b[..., None],
+            c[..., None, None],
+            eta[..., None],
+            j[..., None, None],
+        )
     eye = jnp.eye(d, dtype=a_i.dtype)
     # G = (I + C_i J_j)^{-1};  (I + J_j C_i)^{-1} = Gᵀ for symmetric C, J
     g = _solve(eye + c_i @ j_j, jnp.broadcast_to(eye, c_i.shape))

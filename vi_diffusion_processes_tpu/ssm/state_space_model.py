@@ -120,7 +120,22 @@ class StateSpaceModel:
 
     # -------------------------------------------------------------- marginals
     def _cumulative_elements(self):
-        """Associative scan of (A, b, Q) over time (time axis moved to 0)."""
+        """Associative scan of (A, b, Q) over time (time axis moved to 0).
+
+        d == 1 uses a scalar-channel composition (pure VPU elementwise ops —
+        batched 1×1 matmuls are slow on TPU)."""
+        if self.state_dim == 1:
+            a_t = jnp.moveaxis(self.state_transitions[..., 0, 0], -1, 0)
+            b_t = jnp.moveaxis(self.state_offsets[..., 0], -1, 0)
+            q_t = jnp.moveaxis(self.process_covariances[..., 0, 0], -1, 0)
+
+            def compose_s(e1, e2):
+                a1, b1, q1 = e1
+                a2, b2, q2 = e2
+                return a2 * a1, a2 * b1 + b2, a2 * q1 * a2 + q2
+
+            ca, cb, cq = lax.associative_scan(compose_s, (a_t, b_t, q_t))
+            return ca[..., None, None], cb[..., None], cq[..., None, None]
         a_t = jnp.moveaxis(self.state_transitions, -3, 0)
         b_t = jnp.moveaxis(self.state_offsets, -2, 0)
         q_t = jnp.moveaxis(self.process_covariances, -3, 0)
