@@ -22,7 +22,13 @@ import numpy as np
 
 
 def build_model(grid_size: int, dtype):
+    import jax
     import jax.numpy as jnp
+
+    # x64 must be available: the CVI natural-parameter algebra runs in
+    # float64 internally even when the model is float32 (see
+    # models/cvi_dp.py full_sites docstring)
+    jax.config.update("jax_enable_x64", True)
 
     from vi_diffusion_processes_tpu.likelihoods.gaussian import Gaussian
     from vi_diffusion_processes_tpu.models.cvi_dp import CVISitesSDE
@@ -38,7 +44,7 @@ def build_model(grid_size: int, dtype):
         + 0.2 * rng.normal(size=(len(obs_idx), 1)),
         dtype,
     )
-    import jax
+    from vi_diffusion_processes_tpu.sde.utils import Gaussian as GaussianState
 
     # construct under jit: eager op-by-op construction would round-trip
     # every primitive through the remote compiler
@@ -47,9 +53,9 @@ def build_model(grid_size: int, dtype):
         time_grid=grid,
         input_data=(obs_t, obs_y),
         likelihood=Gaussian(variance=jnp.asarray(0.04, dtype)),
-        prior_initial_state=None if False else __import__(
-            "vi_diffusion_processes_tpu.sde.utils", fromlist=["Gaussian"]
-        ).Gaussian(mu=jnp.zeros((1,), dtype), cov=jnp.asarray([[0.8]], dtype)),
+        prior_initial_state=GaussianState(
+            mu=jnp.zeros((1,), dtype), cov=jnp.asarray([[0.8]], dtype)
+        ),
         prior_sde=sde,
         stabilize_ssm=True,
         clip_state_transitions=(-1.0, 1.0),
@@ -152,6 +158,7 @@ def bench_numpy_baseline(grid_size: int = 10_000, n_reps: int = 3) -> float:
 def main():
     grid_size = 100_000
     step_time, elbo = bench_tpu(grid_size)
+    assert np.isfinite(elbo), f"benchmark ELBO is not finite: {elbo}"
     baseline_10k = bench_numpy_baseline(10_000)
     baseline_100k = baseline_10k * (grid_size / 10_000)  # O(N) scaling
     result = {

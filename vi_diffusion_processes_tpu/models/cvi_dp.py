@@ -136,22 +136,43 @@ class CVISitesSSM:
 
     def full_sites(self) -> BTDNaturals:
         """prior-as-nats + Girsanov sites + scattered data sites
-        (variational_cvi_sde.py:161-175)."""
+        (variational_cvi_sde.py:161-175).
+
+        Computed in float64 regardless of the model dtype: on fine grids the
+        natural parameters are intrinsically ill-conditioned in float32 —
+        the information that determines the posterior transitions lives in
+        ``K_diag − 2|K_sub| ≈ Q⁻¹(1−A)²``, which is below float32's absolute
+        resolution of ``K_diag ~ Q⁻¹`` once ``Δt ≲ 1e-3``.  (The reference
+        is float64-everywhere and never faces this.)  With x64 disabled the
+        casts are no-ops and behavior degrades gracefully.
+        """
+        up = lambda tree: jax.tree_util.tree_map(
+            lambda x: x.astype(jnp.float64), tree
+        )
         t = self.time_grid.shape[0]
-        p_nats = ssm_to_btd_nat(self.dist_p)
-        data_nat1 = _scatter_rows(self.data_sites.nat1, self.obs_indices, t)
-        data_nat2 = _scatter_rows(self.data_sites.nat2, self.obs_indices, t)
+        p_nats = ssm_to_btd_nat(up(self.dist_p))
+        data_nat1 = _scatter_rows(self.data_sites.nat1, self.obs_indices, t).astype(jnp.float64)
+        data_nat2 = _scatter_rows(self.data_sites.nat2, self.obs_indices, t).astype(jnp.float64)
+        g = up(self.girsanov_sites)
         return BTDNaturals(
-            nat1=p_nats.nat1 + self.girsanov_sites.nat1 + data_nat1,
-            nat2_diag=p_nats.nat2_diag + self.girsanov_sites.nat2_diag + data_nat2,
-            nat2_sub=p_nats.nat2_sub + self.girsanov_sites.nat2_sub,
+            nat1=p_nats.nat1 + g.nat1 + data_nat1,
+            nat2_diag=p_nats.nat2_diag + g.nat2_diag + data_nat2,
+            nat2_sub=p_nats.nat2_sub + g.nat2_sub,
         )
 
     @property
     def dist_q(self) -> StateSpaceModel:
-        """Posterior SSM from summed naturals (variational_cvi_sde.py:177-202)."""
+        """Posterior SSM from summed naturals (variational_cvi_sde.py:177-202).
+
+        The naturals→SSM factorization runs in float64 (see
+        :meth:`full_sites`); the resulting SSM is cast back to the model
+        dtype so the heavy downstream work (marginal scans, quadratures,
+        gradients) stays in fast arithmetic.
+        """
         sites = self.full_sites()
-        return naturals_to_ssm(sites.nat1, sites.nat2_diag, sites.nat2_sub)
+        ssm64 = naturals_to_ssm(sites.nat1, sites.nat2_diag, sites.nat2_sub)
+        dtype = self.time_grid.dtype
+        return jax.tree_util.tree_map(lambda x: x.astype(dtype), ssm64)
 
     # ------------------------------------------------------------------ terms
     def _obs_moments(self, fx_mus, fx_covs):

@@ -155,12 +155,21 @@ def ssm_kl_along_gaussian_path(
     Does NOT include the initial-state KL (added by callers, matching the
     reference).
     """
-    chol_p = jnp.linalg.cholesky(ssm_p_process_covar)
-    eye = jnp.eye(ssm_p_process_covar.shape[-1], dtype=ssm_p_process_covar.dtype)
-    p_inv = jax.scipy.linalg.cho_solve((chol_p, True), jnp.broadcast_to(eye, chol_p.shape))
+    from ..utils.linalg import chol_psd, cho_solve as _cho_solve
 
-    _, logdet_q = jnp.linalg.slogdet(ssm_q_process_covar)
-    _, logdet_p = jnp.linalg.slogdet(ssm_p_process_covar)
+    chol_p = chol_psd(ssm_p_process_covar)
+    eye = jnp.eye(ssm_p_process_covar.shape[-1], dtype=ssm_p_process_covar.dtype)
+    p_inv = _cho_solve(chol_p, jnp.broadcast_to(eye, chol_p.shape))
+
+    # log-dets via Cholesky diagonals (slogdet on tiny batched blocks is
+    # slow and crashes the TPU compiler in f64)
+    chol_q = chol_psd(ssm_q_process_covar)
+    logdet_q = 2.0 * jnp.sum(
+        jnp.log(jnp.abs(jnp.diagonal(chol_q, axis1=-2, axis2=-1))), axis=-1
+    )
+    logdet_p = 2.0 * jnp.sum(
+        jnp.log(jnp.abs(jnp.diagonal(chol_p, axis1=-2, axis2=-1))), axis=-1
+    )
     d = ssm_q_marginals_mean.shape[-1]
     trace = jnp.einsum("...ij,...ji->...", p_inv, ssm_q_process_covar)
     c_term = -(logdet_q - logdet_p) - d + trace  # [N]
