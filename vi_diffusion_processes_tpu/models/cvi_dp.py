@@ -138,13 +138,13 @@ class CVISitesSSM:
         """prior-as-nats + Girsanov sites + scattered data sites
         (variational_cvi_sde.py:161-175).
 
-        Computed in float64 regardless of the model dtype: on fine grids the
-        natural parameters are intrinsically ill-conditioned in float32 —
-        the information that determines the posterior transitions lives in
-        ``K_diag − 2|K_sub| ≈ Q⁻¹(1−A)²``, which is below float32's absolute
-        resolution of ``K_diag ~ Q⁻¹`` once ``Δt ≲ 1e-3``.  (The reference
-        is float64-everywhere and never faces this.)  With x64 disabled the
-        casts are no-ops and behavior degrades gracefully.
+        Computed in float64 when x64 is enabled, regardless of the model
+        dtype: the naturals→SSM round trip on fine grids amplifies float32
+        rounding into O(10) ELBO error (measured: converged ELBO −22 in
+        f32 vs −9.7 in f64 on the 100k double-well), while the f64 scalar
+        scans cost little next to the f32 quadrature/gradient work.  With
+        x64 disabled the casts are no-ops and the float32-stable windowed
+        Riccati path (Pallas on TPU) keeps things finite.
         """
         up = lambda tree: jax.tree_util.tree_map(
             lambda x: x.astype(jnp.float64), tree

@@ -303,25 +303,29 @@ def btd_udu_parallel_1d(k: BTD, block_size: int = 512) -> Tuple[jnp.ndarray, jnp
     The backward recursion ``D_k = K_kk − B_k² / D_{k+1}`` is a continued
     fraction — a composition of Möbius maps ``M_k = [[K_kk, −B_k²], [1, 0]]``
     acting on ``D = p/q`` projectively.  A single global associative scan of
-    these maps is exact in f64 but ill-conditioned in f32 over long
-    horizons: the Riccati recursion has an attracting fixed point, so the
-    cumulative 2×2 products collapse toward rank one (condition
-    ~exp(2λT)), producing negative D under float32.
+    these maps is exact in f64 but float32-unstable: on fine grids the
+    recursion is parabolic-degenerate (``A ≈ 1``), the log-depth product
+    tree loses the small singular direction, and D can come out negative.
 
-    This uses the standard two-level (block-parallel) cure:
+    The cure is sequential-ORDER arithmetic with window-level parallelism
+    (empirically ~1e-5 relative error in f32 where the scan tree fails
+    completely):
 
-    1. within each length-``block_size`` window, a reverse
-       ``associative_scan`` builds all suffix composites (condition bounded
-       by ``exp(2λ·L·dt)`` — benign),
-    2. a short sequential ``lax.scan`` over the ~N/L window-boundary maps
-       propagates the boundary state (sequential Riccati iteration is
-       self-correcting, no cancellation),
-    3. each position applies its within-window suffix to its window's
-       boundary state — fully parallel.
+    1. per-window Möbius map composition, sequential over the window length
+       ``l`` but vectorized across ``nb = N/l`` windows (with the diagonal
+       preconditioning ``s_k = |B_k|`` that makes every map O(1)-
+       conditioned),
+    2. a tiny sequential boundary pass over the ``nb`` window maps,
+    3. the exact within-window recursion from the boundary values —
+       sequential in ``l``, vectorized across windows.
 
-    TPU fast path for the CVI hot loop (``naturals_to_ssm_params``) where
-    the reference runs sequential C++ banded recursions
-    (ssm_gaussian_transformations.py:333-512).
+    On TPU with f32 the two heavy phases run as fused Pallas kernels
+    (:mod:`.pallas_riccati`); elsewhere the same phases are XLA scans.
+    Total sequential depth ``2l + nb ≈ 3√N``.
+
+    This is the TPU fast path for the CVI hot loop
+    (``naturals_to_ssm_params``) where the reference runs sequential C++
+    banded recursions (ssm_gaussian_transformations.py:333-512).
     """
     kd = k.diag[..., 0, 0]  # [..., N]
     ks = k.sub[..., 0, 0]  # [..., N-1]
@@ -330,92 +334,119 @@ def btd_udu_parallel_1d(k: BTD, block_size: int = 512) -> Tuple[jnp.ndarray, jnp
 
     b2 = jnp.concatenate([ks**2, jnp.zeros_like(kd[..., :1])], axis=-1)  # B_N = 0
 
-    # Diagonal similarity preconditioning: the raw maps have condition
-    # ~|B²| (entries kd ~ B ~ 1/(q·dt) vs det = B² with unit lower row),
-    # which under float32 collapses the products to rank one.  Rescale
-    # D̃_k = D_k / s_k with s_k = |B_k| (fallback |kd|):
-    #   D̃_k = kd_k/s_k − (B_k²/(s_k s_{k+1})) / D̃_{k+1}
-    # making every transformed map O(1)-conditioned.
-    s = jnp.where(b2 > 0, jnp.sqrt(b2), jnp.abs(kd) + 1e-300)  # [..., N]
-    s_next = jnp.concatenate([s[..., 1:], jnp.ones_like(s[..., :1])], axis=-1)
-    kd_t = kd / s
-    b2_t = b2 / (s * s_next)
-
-    # pad with identity maps to a multiple of the window length
-    l = min(block_size, n)
-    nb = -(-n // l)
-    pad = nb * l - n
-    one = jnp.ones(batch + (pad,), kd.dtype)
-    zero = jnp.zeros(batch + (pad,), kd.dtype)
-    m00 = jnp.concatenate([kd_t, one], axis=-1)
-    m01 = jnp.concatenate([-b2_t, zero], axis=-1)
-    m10 = jnp.concatenate([jnp.ones_like(kd), zero], axis=-1)
-    m11 = jnp.concatenate([jnp.zeros_like(kd), one], axis=-1)
-
-    def to_blocks(x):  # [..., nb*l] → [l, ..., nb] (scan axis leading)
-        x = x.reshape(batch + (nb, l))
-        return jnp.moveaxis(x, -1, 0)
-
-    elems = tuple(to_blocks(x) for x in (m00, m01, m10, m11))
-    # 1. within-window suffix composites (reverse scan over the l axis)
-    suffix = lax.associative_scan(_mobius_compose, elems, reverse=True)
-    # window map = suffix at position 0: [..., nb] each
-    wmaps = tuple(s[0] for s in suffix)
-
-    # 2. sequential boundary pass (reverse over nb windows)
-    def boundary_step(h, m):
-        h0, h1 = h
-        w00, w01, w10, w11 = m
-        p0 = w00 * h0 + w01 * h1
-        p1 = w10 * h0 + w11 * h1
-        scale = jnp.sqrt(p0**2 + p1**2) + 1e-300
-        return (p0 / scale, p1 / scale), (h0, h1)
-
-    h_init = (jnp.ones(batch, kd.dtype), jnp.zeros(batch, kd.dtype))
-    wmaps_t = tuple(jnp.moveaxis(w, -1, 0) for w in wmaps)  # [nb, ...]
-    _, (hb0, hb1) = lax.scan(boundary_step, h_init, wmaps_t, reverse=True)
-    # hb[b] = boundary state entering window b from the right: [nb, ...]
-
-    hb0 = jnp.moveaxis(hb0, 0, -1)  # [..., nb]
-    hb1 = jnp.moveaxis(hb1, 0, -1)
-
     if kd.dtype == jnp.float64:
-        # 3a. fully parallel: apply the suffix composites to the boundary
-        # states (exact to f64 roundoff)
-        s00, s01, s10, s11 = suffix  # [l, ..., nb]
-        p = s00 * hb0 + s01 * hb1
-        q = s10 * hb0 + s11 * hb1
-        d_blocks = jnp.moveaxis(p / q, 0, -1)  # [..., nb, l]
-        d_scalar = s * d_blocks.reshape(batch + (nb * l,))[..., :n]  # undo rescale
+        # f64 is exact under the log-depth global Möbius scan — lowest
+        # latency (no windowing needed)
+        d_scalar = _riccati_d_global_scan(kd, b2)
+    elif (
+        not batch
+        and kd.dtype == jnp.float32
+        and n >= 1024
+        and jax.default_backend() == "tpu"
+    ):
+        from .pallas_riccati import riccati_d_sweep
+
+        d_scalar = riccati_d_sweep(kd, b2)
     else:
-        # 3b. float32: the within-window suffix composites lose ~L² ulps in
-        # the parabolic regime (A ≈ 1 on fine grids) and can flip the sign
-        # of D.  Run the (preconditioned) recursion *sequentially within
-        # each window but in parallel across all windows* — exact scalar
-        # arithmetic, sequential depth L, vectorized width N/L.
-        # Boundary carries are the tilde-space ratios at each window's
-        # right edge (the last window's boundary is the projective point at
-        # infinity: D̃ → kd̃ exactly, via b̃²/∞ = 0).
-        d_bnd_t = jnp.where(
-            hb1 == 0,
-            jnp.full_like(hb0, jnp.inf),
-            hb0 / jnp.where(hb1 == 0, jnp.ones_like(hb1), hb1),
-        )
-
-        def inner(carry_dt, inputs):
-            kd_t_i, b2_t_i = inputs  # [..., nb], tilde-space entries
-            d_t = kd_t_i - b2_t_i / carry_dt
-            return d_t, d_t
-
-        kd_t_blk = to_blocks(m00)
-        b2_t_blk = -to_blocks(m01)
-        _, ds_t = lax.scan(inner, d_bnd_t, (kd_t_blk, b2_t_blk), reverse=True)
-        d_blocks = jnp.moveaxis(ds_t, 0, -1)  # [..., nb, l]
-        d_scalar = s * d_blocks.reshape(batch + (nb * l,))[..., :n]
+        d_scalar = _riccati_d_xla(kd, b2, block_size)
 
     # U_k = K[k,k+1] / D_{k+1} = B_kᵀ/D_{k+1} (scalar: sub_k / D_{k+1})
     u_scalar = ks / d_scalar[..., 1:]
     return d_scalar[..., :, None, None], u_scalar[..., :, None, None]
+
+
+def _riccati_d_xla(kd: jnp.ndarray, b2: jnp.ndarray, block_size: int) -> jnp.ndarray:
+    """XLA implementation of the three-phase windowed Riccati sweep
+    (sequential-order arithmetic; see :func:`btd_udu_parallel_1d`)."""
+    n = kd.shape[-1]
+    batch = kd.shape[:-1]
+
+    # diagonal preconditioning
+    s = jnp.where(b2 > 0, jnp.sqrt(b2), jnp.abs(kd) + 1e-30)
+    s_next = jnp.concatenate([s[..., 1:], jnp.ones_like(s[..., :1])], axis=-1)
+    kd_t = kd / s
+    b2_t = b2 / (s * s_next)
+
+    l = min(block_size, n)
+    nb = -(-n // l)
+    pad = nb * l - n
+
+    def blockify(x, pad_value):
+        if pad:
+            x = jnp.concatenate(
+                [x, jnp.full(batch + (pad,), pad_value, x.dtype)], axis=-1
+            )
+        return jnp.moveaxis(x.reshape(batch + (nb, l)), -1, 0)  # [l, ..., nb]
+
+    kd_blk = blockify(kd_t, 1.0)
+    b2_blk = blockify(b2_t, 0.0)
+    s_blk = blockify(s, 1.0)
+
+    # phase 1: window maps, sequential over l, vectorized over windows
+    ones = jnp.ones(batch + (nb,), kd.dtype)
+    zeros = jnp.zeros(batch + (nb,), kd.dtype)
+
+    def compose(w, inputs):
+        a00, nb2 = inputs
+        w00, w01, w10, w11 = w
+        p00 = a00 * w00 - nb2 * w10
+        p01 = a00 * w01 - nb2 * w11
+        scale = jax.lax.rsqrt(p00**2 + p01**2 + w00**2 + w01**2 + 1e-30)
+        return (p00 * scale, p01 * scale, w00 * scale, w01 * scale), None
+
+    (w00, w01, w10, w11), _ = lax.scan(
+        compose, (ones, zeros, zeros, ones), (kd_blk, b2_blk), reverse=True
+    )
+
+    # phase 2: boundary pass over windows (right to left)
+    def boundary(carry, wm):
+        p, q = carry
+        m00, m01, m10, m11 = wm
+        p2 = m00 * p + m01 * q
+        q2 = m10 * p + m11 * q
+        scale = jax.lax.rsqrt(p2**2 + q2**2 + 1e-30)
+        return (p2 * scale, q2 * scale), (p, q)
+
+    wm_t = tuple(jnp.moveaxis(w, -1, 0) for w in (w00, w01, w10, w11))
+    one = jnp.ones(batch, kd.dtype)
+    zero = jnp.zeros(batch, kd.dtype)
+    _, (hb0, hb1) = lax.scan(boundary, (one, zero), wm_t, reverse=True)
+    hb0 = jnp.moveaxis(hb0, 0, -1)  # [..., nb]
+    hb1 = jnp.moveaxis(hb1, 0, -1)
+    d_bnd = jnp.where(hb1 == 0, jnp.inf, hb0 / jnp.where(hb1 == 0, 1.0, hb1))
+
+    # phase 3: exact within-window sweep
+    def sweep(carry_d, inputs):
+        kd_i, b2_i, s_i = inputs
+        d_t = kd_i - b2_i / carry_d
+        return d_t, d_t * s_i
+
+    _, ds = lax.scan(sweep, d_bnd, (kd_blk, b2_blk, s_blk), reverse=True)
+    d_blocks = jnp.moveaxis(ds, 0, -1)  # [..., nb, l]
+    return d_blocks.reshape(batch + (nb * l,))[..., :n]
+
+
+def _riccati_d_global_scan(kd: jnp.ndarray, b2: jnp.ndarray) -> jnp.ndarray:
+    """Global log-depth Möbius associative scan (exact in float64; unstable
+    in float32 near the parabolic regime — see btd_udu_parallel_1d)."""
+    m00 = jnp.moveaxis(kd, -1, 0)
+    m01 = jnp.moveaxis(-b2, -1, 0)
+    m10 = jnp.ones_like(m00)
+    m11 = jnp.zeros_like(m00)
+
+    def compose(a, b):
+        # reverse scan: a = later cumulative suffix, b = earlier element
+        a00, a01, a10, a11 = a
+        b00, b01, b10, b11 = b
+        p00 = b00 * a00 + b01 * a10
+        p01 = b00 * a01 + b01 * a11
+        p10 = b10 * a00 + b11 * a10
+        p11 = b10 * a01 + b11 * a11
+        scale = jax.lax.rsqrt(p00**2 + p01**2 + p10**2 + p11**2 + 1e-300)
+        return p00 * scale, p01 * scale, p10 * scale, p11 * scale
+
+    c00, _, c10, _ = lax.associative_scan(compose, (m00, m01, m10, m11), reverse=True)
+    return jnp.moveaxis(c00 / c10, 0, -1)
 
 
 def affine_scan(t_mats: jnp.ndarray, c_vecs: jnp.ndarray, x0: jnp.ndarray, *, reverse: bool = False) -> jnp.ndarray:
