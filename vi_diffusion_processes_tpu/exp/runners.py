@@ -19,7 +19,6 @@ from ..likelihoods.gaussian import Gaussian
 from ..models.cvi_dp import CVISitesSDE
 from ..models.vdp import VariationalMarkovGP
 from ..optim.trainers import CVISitesTrainer, VDPTrainer
-from ..sde.utils import Gaussian as GaussianState
 from .data import DPDataset, build_prior_sde, get_observations
 from .metrics import grid_indices, nlpd, rmse
 

@@ -18,7 +18,7 @@ clean pytrees.
 """
 from __future__ import annotations
 
-from typing import Sequence, Tuple
+from typing import Tuple
 
 import jax.numpy as jnp
 from flax import struct
@@ -110,9 +110,13 @@ class SDEKernel(Kernel):
 
         batch_shape = time_points.shape[:-1]
         a_s, q_s = self.transition_statistics_from_time_points(time_points)
+        d = self.state_dim
+        init_cov = jnp.broadcast_to(
+            self.initial_covariance(time_points[..., 0:1]), batch_shape + (d, d)
+        )
         return ssm_from_covariances(
             initial_mean=self.initial_mean(batch_shape).astype(time_points.dtype),
-            initial_covariance=self.initial_covariance(time_points[..., 0:1]),
+            initial_covariance=init_cov,
             state_transitions=a_s,
             state_offsets=self.state_offsets(time_points[..., :-1], to_delta_time(time_points)),
             process_covariances=q_s,

@@ -18,7 +18,7 @@ with the η-gradient computed by direct autodiff of VE re-parameterized in η.
 """
 from __future__ import annotations
 
-from typing import NamedTuple, Optional, Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -26,9 +26,7 @@ from flax import struct
 
 from ..parallel.pskf import (
     filter_smoother_with_sites,
-    parallel_filter,
     posterior_ssm_from_smoothed,
-    site_log_normalizer,
 )
 from ..parallel.sites import (  # noqa: F401  (canonical home; re-exported here)
     GaussianSites,
@@ -37,7 +35,6 @@ from ..parallel.sites import (  # noqa: F401  (canonical home; re-exported here)
 )
 from ..ssm.mean_functions import MeanFunction
 from ..ssm.state_space_model import StateSpaceModel
-from ..utils.linalg import transpose_last
 from .posterior import AnalyticPosteriorProcess
 
 __all__ = ["GaussianSites", "CVIGaussianProcess", "back_project_nats", "sites_log_likelihood"]

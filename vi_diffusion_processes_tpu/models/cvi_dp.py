@@ -39,7 +39,7 @@ from ..sde.utils import (
 )
 from ..ssm.state_space_model import StateSpaceModel
 from ..ssm.transforms import naturals_to_ssm
-from ..utils.linalg import gaussian_kl, transpose_last
+from ..utils.linalg import gaussian_kl
 from .posterior import ConditionalProcess
 
 __all__ = ["CVISitesSSM", "CVISitesSDE", "DataSites"]

@@ -7,7 +7,7 @@ from the parallel filter/smoother instead of banded UDU' factorizations
 """
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax.numpy as jnp
 from flax import struct
@@ -20,7 +20,6 @@ from ..parallel.pskf import (
     site_log_normalizer,
 )
 from ..ssm.mean_functions import MeanFunction
-from ..utils.linalg import cho_solve, transpose_last
 from .posterior import AnalyticPosteriorProcess
 
 __all__ = ["GaussianProcessRegression", "gaussian_observation_sites"]

@@ -7,7 +7,7 @@ the CVI machinery (parallel filter/smoother over back-projected sites).
 """
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax.numpy as jnp
 from flax import struct

@@ -28,7 +28,6 @@ from ..ssm.conditionals import (
 from ..ssm.mean_functions import MeanFunction
 from ..ssm.state_space_model import StateSpaceModel
 from ..ssm.transforms import naturals_to_ssm
-from ..utils.linalg import transpose_last
 from .posterior import AnalyticPosteriorProcess
 
 __all__ = ["SparsePowerExpectationPropagation"]

@@ -18,7 +18,7 @@ points by equality (vi_sde.py:276); here the model carries precomputed
 """
 from __future__ import annotations
 
-from typing import NamedTuple, Optional, Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -29,7 +29,7 @@ from ..sde.base import SDE
 from ..sde.drift import LinearDrift, linear_drift_to_ssm
 from ..sde.utils import Gaussian, squared_drift_difference_along_Gaussian_path
 from ..ssm.state_space_model import StateSpaceModel
-from ..utils.linalg import gaussian_kl, transpose_last
+from ..utils.linalg import gaussian_kl
 
 __all__ = ["VariationalMarkovGP"]
 

@@ -85,6 +85,11 @@ def _sweep_kernel(kdt_ref, b2t_ref, s_ref, dbnd_ref, out_ref):
     jax.lax.fori_loop(jnp.int32(0), jnp.int32(l), step, dbnd_ref[0, :])
 
 
+def _interpret() -> bool:
+    # interpret mode lets the kernels run (slowly) off-TPU, e.g. in tests
+    return jax.default_backend() != "tpu"
+
+
 def _window_maps(kdt_blk, b2t_blk):
     l, nb = kdt_blk.shape
     return pl.pallas_call(
@@ -92,6 +97,7 @@ def _window_maps(kdt_blk, b2t_blk):
         out_shape=jax.ShapeDtypeStruct((8, nb), kdt_blk.dtype),
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 2,
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        interpret=_interpret(),
     )(kdt_blk, b2t_blk)
 
 
@@ -102,6 +108,7 @@ def _window_sweep(kdt_blk, b2t_blk, s_blk, d_bnd):
         out_shape=jax.ShapeDtypeStruct((l, nb), kdt_blk.dtype),
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 4,
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        interpret=_interpret(),
     )(kdt_blk, b2t_blk, s_blk, d_bnd.reshape(1, -1))
 
 

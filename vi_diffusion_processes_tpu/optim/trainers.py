@@ -14,7 +14,7 @@ and cheap.
 from __future__ import annotations
 
 from dataclasses import dataclass, field
-from typing import List, Optional, Tuple
+from typing import List
 
 import jax
 import jax.numpy as jnp

@@ -11,8 +11,6 @@ information-form smoother.
 """
 from __future__ import annotations
 
-from typing import Optional
-
 import jax.numpy as jnp
 from flax import struct
 

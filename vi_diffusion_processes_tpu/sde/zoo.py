@@ -8,8 +8,6 @@ trainable hyperparameters — drift learning is plain ``jax.grad``.
 """
 from __future__ import annotations
 
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
 from flax import struct

@@ -22,7 +22,7 @@ state_space_model.py:52-61); ``precision()`` materializes it as a
 """
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -27,7 +27,6 @@ from __future__ import annotations
 from typing import Tuple
 
 import jax.numpy as jnp
-from jax import lax
 
 from ..ops.btd import BTD, btd_udu
 from ..utils.linalg import cho_solve, chol_psd, transpose_last, tri_solve
