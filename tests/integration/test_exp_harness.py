@@ -48,3 +48,12 @@ def test_run_cvi_dp_learn_prior():
     out = run_cvi_dp(config)
     # the drift parameters moved
     assert float(out["learned_prior_sde"].scale) != 4.0 or float(out["learned_prior_sde"].c) != 1.0
+
+
+def test_run_gpr_baseline():
+    from vi_diffusion_processes_tpu.exp.runners import run_gpr
+
+    config = small_config(prior_sde="ou", prior_sde_kwargs={"decay": 1.0})
+    out = run_gpr(config)
+    assert out["losses"][-1] < out["losses"][0]
+    assert np.isfinite(out["nlpd"]) and np.isfinite(out["rmse"])

@@ -120,3 +120,19 @@ def test_iwvi_bound_below_loglik(data, kernel, key):
     )
     iw = np.mean([float(model.elbo((t, y), jax.random.fold_in(key, i))) for i in range(8)])
     assert iw <= float(gpr.log_likelihood()) + 0.5
+
+
+def test_iwvi_samples_and_expectations(data, kernel, key):
+    """IW posterior sampling + self-normalized expectations + DREGS grads
+    (posterior.py:623-787, iwvi.py:143-173)."""
+    t, y = data
+    lik = Gaussian(variance=jnp.asarray(NOISE))
+    model = ImportanceWeightedVI.initialize(kernel, lik, t, num_importance_samples=16)
+    t_new = jnp.linspace(0.5, 3.5, 5)
+    f = model.predict_f_samples(t_new, (t, y), key)
+    assert f.shape == (16, 5, 1)
+    ev = model.expected_value(t_new, (t, y), key)
+    assert np.isfinite(np.asarray(ev)).all()
+    g = jax.grad(lambda q: model.replace(dist_q=q).dregs_objective((t, y), key))(model.dist_q)
+    leaves = jax.tree_util.tree_leaves(g)
+    assert all(np.isfinite(np.asarray(leaf)).all() for leaf in leaves)

@@ -22,7 +22,7 @@ from ..optim.trainers import CVISitesTrainer, VDPTrainer
 from .data import DPDataset, build_prior_sde, get_observations
 from .metrics import grid_indices, nlpd, rmse
 
-__all__ = ["ExperimentConfig", "run_cvi_dp", "run_vdp", "make_dataset"]
+__all__ = ["ExperimentConfig", "run_cvi_dp", "run_vdp", "run_gpr", "make_dataset"]
 
 
 @dataclasses.dataclass
@@ -136,4 +136,53 @@ def run_vdp(config: ExperimentConfig, dataset: Optional[DPDataset] = None) -> Di
         "posterior_covs": covs,
         "learned_prior_sde": model.prior_sde,
         **metrics,
+    }
+
+
+def run_gpr(config: ExperimentConfig, dataset: Optional[DPDataset] = None) -> Dict:
+    """Exact-GPR baseline on the same data (gpr_linear.py / gpr_non_linear.py
+    equivalents): an OU state-space kernel with Adam-trained hyperparameters.
+    """
+    import optax
+
+    from ..kernels.matern import OrnsteinUhlenbeck
+    from ..models.gpr import GaussianProcessRegression
+
+    dataset = dataset or make_dataset(config)
+    dtype = dataset.obs_values.dtype
+
+    def make_model(kernel):
+        return GaussianProcessRegression(
+            kernel=kernel,
+            time_points=dataset.obs_times,
+            observations=dataset.obs_values,
+            chol_obs_covariance=jnp.asarray([[dataset.noise_stddev]], dtype),
+        )
+
+    kernel = OrnsteinUhlenbeck(
+        decay=jnp.asarray(1.0, dtype), diffusion=jnp.asarray(config.q, dtype)
+    )
+    opt = optax.adam(0.05)
+    state = opt.init(kernel)
+
+    @jax.jit
+    def step(k, s):
+        loss, g = jax.value_and_grad(lambda kk: make_model(kk).loss())(k)
+        updates, s = opt.update(g, s)
+        return optax.apply_updates(k, updates), s, loss
+
+    losses = []
+    for _ in range(60):
+        kernel, state, loss = step(kernel, state)
+        losses.append(float(loss))
+
+    model = make_model(kernel)
+    posterior = model.posterior
+    f_mu, f_var = posterior.predict_f(dataset.test_times)
+    return {
+        "model": model,
+        "losses": losses,
+        "kernel": kernel,
+        "nlpd": float(nlpd(f_mu, f_var, dataset.test_values, dataset.noise_stddev**2)),
+        "rmse": float(rmse(f_mu, dataset.test_values)),
     }
