@@ -284,7 +284,7 @@ def site_log_normalizer(
 
 # ---------------------------------------------------------------- posteriors
 def posterior_ssm_from_smoothed(
-    ssm: StateSpaceModel, smooth: SmootherResult, jitter: float = 0.0
+    ssm: StateSpaceModel, smooth: SmootherResult, jitter: float = None
 ) -> StateSpaceModel:
     """Convert smoothed marginals + RTS gains into a forward posterior SSM.
 
@@ -297,6 +297,10 @@ def posterior_ssm_from_smoothed(
         ``b̄_k = m̄_{k+1} − Ā_k m̄_k``,
         ``Q̄_k = S_{k+1} − Ā_k E_k S_{k+1}``  (all parallel over k).
     """
+    from ..config import default_jitter
+
+    if jitter is None:
+        jitter = default_jitter()
     s = smooth.covs
     m = smooth.means
     e = smooth.gains

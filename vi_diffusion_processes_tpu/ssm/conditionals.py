@@ -39,9 +39,14 @@ def _conditional_statistics_from_transitions(a_mt, q_mt, a_tp, q_tp):
         ``D = A_mt − E A_tp A_mt``
         ``T = Q_mt − Q_mt A_tpᵀ Q₋₊⁻¹ A_tp Q_mt``
     """
+    from ..config import default_jitter
+
     a_tp_q_mt = a_tp @ q_mt
     q_mp = q_tp + a_tp_q_mt @ transpose_last(a_tp)
-    chol = jnp.linalg.cholesky(q_mp)
+    # jitter: deterministic state components (Q = 0, e.g. Constant/Harmonic
+    # kernels) make Q₋₊ singular
+    eye = jnp.eye(q_mp.shape[-1], dtype=q_mp.dtype)
+    chol = jnp.linalg.cholesky(q_mp + default_jitter() * eye)
     linv_atp_qmt = tri_solve(chol, a_tp_q_mt)
     e = transpose_last(tri_solve(chol, linv_atp_qmt, transpose=True))
     d = a_mt - e @ a_tp @ a_mt
