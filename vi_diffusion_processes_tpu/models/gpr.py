@@ -62,10 +62,15 @@ class GaussianProcessRegression:
         return -self.log_likelihood()
 
     def posterior_state_space_model(self):
+        from ..config import default_jitter
+
         ssm = self.kernel.state_space_model(self.time_points)
         _, (nat1, nat2, _) = self._sites()
         _, smooth = filter_smoother_with_sites(ssm, nat1, nat2)
-        return posterior_ssm_from_smoothed(ssm, smooth)
+        # jitter: deterministic kernel components (Q = 0) need a PSD floor
+        # for sampling; the GPR posterior is only used to predict/sample, so
+        # the KL-sensitivity argument in pskf.py does not apply here.
+        return posterior_ssm_from_smoothed(ssm, smooth, jitter=default_jitter())
 
     @property
     def posterior(self) -> AnalyticPosteriorProcess:

@@ -284,7 +284,7 @@ def site_log_normalizer(
 
 # ---------------------------------------------------------------- posteriors
 def posterior_ssm_from_smoothed(
-    ssm: StateSpaceModel, smooth: SmootherResult, jitter: float = None
+    ssm: StateSpaceModel, smooth: SmootherResult, jitter: float = 0.0
 ) -> StateSpaceModel:
     """Convert smoothed marginals + RTS gains into a forward posterior SSM.
 
@@ -296,11 +296,13 @@ def posterior_ssm_from_smoothed(
         ``Ā_k = S_{k+1} E_kᵀ S_k⁻¹``,
         ``b̄_k = m̄_{k+1} − Ā_k m̄_k``,
         ``Q̄_k = S_{k+1} − Ā_k E_k S_{k+1}``  (all parallel over k).
-    """
-    from ..config import default_jitter
 
-    if jitter is None:
-        jitter = default_jitter()
+    ``jitter`` defaults to 0: posterior process covariances are legitimately
+    tiny over small gaps (Q ~ dt³ for Matern32), so even 1e-10 jitter is a
+    large *relative* perturbation and visibly shifts KL(q‖p).  Callers that
+    only sample/predict (and must survive Q=0 deterministic chains) pass
+    ``default_jitter()`` explicitly.
+    """
     s = smooth.covs
     m = smooth.means
     e = smooth.gains
