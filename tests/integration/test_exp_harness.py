@@ -57,3 +57,24 @@ def test_run_gpr_baseline():
     out = run_gpr(config)
     assert out["losses"][-1] < out["losses"][0]
     assert np.isfinite(out["nlpd"]) and np.isfinite(out["rmse"])
+
+
+def test_modify_time_grid_and_k_folds():
+    from vi_diffusion_processes_tpu.exp.data import get_k_folds, modify_time_grid
+
+    grid = jnp.linspace(0.0, 2.0, 11)  # dt = 0.2
+    fine = modify_time_grid(grid, 0.05)
+    assert float(fine[0]) == 0.0 and abs(float(fine[-1]) - 2.0) < 0.051
+    np.testing.assert_allclose(np.diff(np.asarray(fine)), 0.05, atol=1e-12)
+    # old observation times land exactly on the refined grid
+    assert np.isin(np.round(np.asarray(grid), 2), np.asarray(fine)).all()
+
+    t = jnp.asarray(np.sort(np.random.default_rng(0).uniform(0, 5, 20)))
+    y = jnp.asarray(np.arange(20.0)[:, None])
+    train, test = get_k_folds(t, y, k_folds=4, seed=1)
+    assert len(train) == 4 and len(test) == 4
+    for (tt, ty), (st, sy) in zip(train, test):
+        assert tt.shape[0] + st.shape[0] == 20
+        assert (np.diff(np.asarray(tt)) >= 0).all()  # sorted within fold
+        # disjoint cover of the data
+        assert len(np.union1d(np.asarray(ty[:, 0]), np.asarray(sy[:, 0]))) == 20

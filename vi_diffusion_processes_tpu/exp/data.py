@@ -16,7 +16,7 @@ import numpy as np
 from ..sde.base import SDE
 from ..sde.utils import euler_maruyama
 
-__all__ = ["DPDataset", "get_observations", "build_prior_sde"]
+__all__ = ["DPDataset", "get_observations", "build_prior_sde", "modify_time_grid", "get_k_folds"]
 
 
 class DPDataset(NamedTuple):
@@ -103,3 +103,30 @@ def build_prior_sde(name: str, dtype=jnp.float64, q: float = 1.0, **kwargs) -> S
     if name == "mlpdrift":
         return zoo.MLPDrift.initialize(kwargs.get("key", jax.random.PRNGKey(0)), q1)
     raise ValueError(f"unknown prior sde: {name}")
+
+
+def modify_time_grid(time_grid: jnp.ndarray, dt: float) -> jnp.ndarray:
+    """Rebuild a uniform grid over the same span with step ``dt``
+    (exp_dp_utils.py:177-186), rounded to ``dt``'s decimal places so
+    observation times land exactly on grid nodes."""
+    t0 = float(time_grid[0])
+    t1 = float(time_grid[-1])
+    n_decimals = str(dt)[::-1].find(".")
+    grid = np.arange(t0, t1 + dt, dt)
+    return jnp.asarray(np.round(grid, max(n_decimals, 0)), time_grid.dtype)
+
+
+def get_k_folds(times: jnp.ndarray, values: jnp.ndarray, k_folds: int, seed: int = 0):
+    """Shuffled k-fold train/test splits, times kept sorted within each fold
+    (exp_dp_utils.py:294-320).  Returns ``(train_sets, test_sets)`` where each
+    entry is a ``(times, values)`` tuple."""
+    n = times.shape[0]
+    perm = np.random.default_rng(seed).permutation(n)
+    folds = np.array_split(perm, k_folds)
+    train_sets, test_sets = [], []
+    for i in range(k_folds):
+        test_idx = np.sort(folds[i])
+        train_idx = np.sort(np.concatenate([folds[j] for j in range(k_folds) if j != i]))
+        train_sets.append((times[train_idx], values[train_idx]))
+        test_sets.append((times[test_idx], values[test_idx]))
+    return train_sets, test_sets
