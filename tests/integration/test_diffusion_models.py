@@ -159,3 +159,63 @@ def test_cvi_dp_prior_grads(ou_case):
     g_ve = model.grad_ve_wrt_prior_params()
     assert np.isfinite(float(g_kl.decay))
     assert np.isfinite(float(g_ve.decay))
+
+
+def test_cvi_dp_vanderpol_2d(key):
+    """d=2 state: the general (non-scalar) UDU'/BTD path end-to-end
+    (configs/prior_sde/vanderpol.yaml is a shipped reference experiment)."""
+    from vi_diffusion_processes_tpu.sde.zoo import VanderPolOscillatorSDE
+
+    sde = VanderPolOscillatorSDE(a=jnp.asarray(0.5), tau=jnp.asarray(1.0), q_mat=0.5 * jnp.eye(2))
+    grid = jnp.linspace(0.0, 3.0, 201)
+    x0 = jnp.asarray([1.0, 0.0])
+    path = euler_maruyama(sde, x0, grid, key)
+    rng = np.random.default_rng(4)
+    idx = np.sort(rng.choice(np.arange(1, 200), 25, replace=False))
+    obs_t = grid[idx]
+    obs_y = path[idx] + 0.1 * jax.random.normal(jax.random.fold_in(key, 1), (25, 2))
+
+    model = CVISitesSDE.initialize_sde(
+        sde, grid, (obs_t, obs_y), Gaussian(variance=jnp.asarray(0.01))
+    )
+    e0 = float(model.classic_elbo())
+    step = jax.jit(lambda m: m.update_data_sites(0.3).update_girsanov_sites(0.3))
+    for i in range(12):
+        model = step(model)
+        if i % 3 == 2:
+            model = model.relinearize()
+    e1 = float(model.classic_elbo())
+    assert e1 > e0 + 100.0
+    means, _ = model.dist_q.marginals()
+    rmse = float(jnp.sqrt(jnp.mean((means - path) ** 2)))
+    assert rmse < 0.5
+
+
+def test_cvi_dp_mlp_drift(key):
+    """Neural-network drift prior: inference + finite drift-parameter grads
+    (configs/prior_sde/mlpdrift.yaml)."""
+    from vi_diffusion_processes_tpu.sde.zoo import MLPDrift
+
+    true_sde = DoubleWellSDE(q_mat=jnp.asarray([[0.8]]))
+    grid = jnp.linspace(0.0, 3.0, 301)
+    path = euler_maruyama(true_sde, jnp.asarray([1.0]), grid, key)
+    rng = np.random.default_rng(5)
+    idx = np.sort(rng.choice(np.arange(1, 300), 30, replace=False))
+    obs_t = grid[idx]
+    obs_y = path[idx] + 0.1 * jax.random.normal(jax.random.fold_in(key, 1), (30, 1))
+
+    mlp = MLPDrift.initialize(jax.random.fold_in(key, 2), q_mat=jnp.asarray([[0.8]]))
+    model = CVISitesSDE.initialize_sde(
+        mlp, grid, (obs_t, obs_y), Gaussian(variance=jnp.asarray(0.01))
+    )
+    e0 = float(model.classic_elbo())
+    step = jax.jit(lambda m: m.update_data_sites(0.2).update_girsanov_sites(0.2))
+    for i in range(10):
+        model = step(model)
+        if i % 2 == 1:
+            model = model.relinearize()
+    assert float(model.classic_elbo()) > e0
+    g_kl = model.grad_kl_wrt_prior_params()
+    leaves = jax.tree_util.tree_leaves(g_kl)
+    assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
+    assert any(float(jnp.max(jnp.abs(l))) > 0 for l in leaves)
