@@ -39,50 +39,41 @@ __all__ = ["riccati_d_sweep"]
 
 def _compose_kernel(kdt_ref, b2t_ref, w_ref):
     """Window-map composition: W ← M_i @ W, i = l−1 … 0, vectorized over
-    the ``nb`` windows (lanes).  ``w_ref: [8, nb]`` (4 channels used)."""
-    l, nb = kdt_ref.shape
-    zeros = jnp.zeros((nb,), kdt_ref.dtype)
-    ones = jnp.ones((nb,), kdt_ref.dtype)
-    w_ref[0, :] = ones
-    w_ref[1, :] = zeros
-    w_ref[2, :] = zeros
-    w_ref[3, :] = ones
-    w_ref[4, :] = zeros
-    w_ref[5, :] = zeros
-    w_ref[6, :] = zeros
-    w_ref[7, :] = zeros
+    the ``nb`` windows (lanes).  ``w_ref: [8, nb]`` (4 channels used).
 
-    def step(i_step, _):
-        i = jnp.int32(l - 1) - i_step
-        a00 = kdt_ref[i, :]
-        a01 = -b2t_ref[i, :]
-        w00, w01 = w_ref[0, :], w_ref[1, :]
-        w10, w11 = w_ref[2, :], w_ref[3, :]
+    The loop is a *static Python unroll* over rank-2 ``[1, nb]`` rows: the
+    Mosaic layout pass aborts on rank-1 vector values and dynamic sublane
+    indices (layout.h rank check), and the unroll also keeps the running
+    2×2 map in vector registers instead of round-tripping VMEM."""
+    l, nb = kdt_ref.shape
+    one = jnp.ones((1, nb), kdt_ref.dtype)
+    zero = jnp.zeros((1, nb), kdt_ref.dtype)
+    w00, w01, w10, w11 = one, zero, zero, one
+    for i in range(l - 1, -1, -1):
+        a00 = kdt_ref[i : i + 1, :]
+        a01 = -b2t_ref[i : i + 1, :]
         p00 = a00 * w00 + a01 * w10
         p01 = a00 * w01 + a01 * w11
         # second row of M_i is [1, 0] → new bottom row = old top row
         scale = jax.lax.rsqrt(p00**2 + p01**2 + w00**2 + w01**2 + 1e-30)
-        w_ref[0, :] = p00 * scale
-        w_ref[1, :] = p01 * scale
-        w_ref[2, :] = w00 * scale
-        w_ref[3, :] = w01 * scale
-        return ()
-
-    jax.lax.fori_loop(jnp.int32(0), jnp.int32(l), step, ())
+        w00, w01, w10, w11 = p00 * scale, p01 * scale, w00 * scale, w01 * scale
+    w_ref[0:1, :] = w00
+    w_ref[1:2, :] = w01
+    w_ref[2:3, :] = w10
+    w_ref[3:4, :] = w11
+    w_ref[4:8, :] = jnp.zeros((4, nb), kdt_ref.dtype)
 
 
 def _sweep_kernel(kdt_ref, b2t_ref, s_ref, dbnd_ref, out_ref):
     """Exact within-window recursion from the boundary values
-    (``dbnd_ref: [1, nb]``), sequential in ``l``, vectorized over windows."""
+    (``dbnd_ref: [1, nb]``), sequential in ``l``, vectorized over windows.
+    Statically unrolled with rank-2 rows for the same Mosaic layout reason
+    as :func:`_compose_kernel`."""
     l, nb = kdt_ref.shape
-
-    def step(i_step, carry_d):
-        i = jnp.int32(l - 1) - i_step
-        d = kdt_ref[i, :] - b2t_ref[i, :] / carry_d
-        out_ref[i, :] = d * s_ref[i, :]
-        return d
-
-    jax.lax.fori_loop(jnp.int32(0), jnp.int32(l), step, dbnd_ref[0, :])
+    d = dbnd_ref[0:1, :]
+    for i in range(l - 1, -1, -1):
+        d = kdt_ref[i : i + 1, :] - b2t_ref[i : i + 1, :] / d
+        out_ref[i : i + 1, :] = d * s_ref[i : i + 1, :]
 
 
 def _interpret() -> bool:
