@@ -18,6 +18,7 @@ from ..ssm.mean_functions import MeanFunction
 from ..ssm.state_space_model import StateSpaceModel
 from .cvi import GaussianSites, back_project_nats
 from .posterior import AnalyticPosteriorProcess
+from ..utils.linalg import solve_small
 
 __all__ = ["PowerExpectationPropagation"]
 
@@ -86,7 +87,7 @@ class PowerExpectationPropagation:
         projected to f (pep.py:150-178)."""
         d = means.shape[-1]
         eye = jnp.eye(d, dtype=means.dtype)
-        prec = jnp.linalg.solve(covs, jnp.broadcast_to(eye, covs.shape))
+        prec = solve_small(covs, jnp.broadcast_to(eye, covs.shape))
         nat2 = -0.5 * prec
         nat1 = jnp.einsum("...ij,...j->...i", prec, means)
         h = self._emission().emission_matrix
@@ -95,7 +96,7 @@ class PowerExpectationPropagation:
         cav_nat2 = nat2 - self.alpha * bp_nat2
         cav_nat1 = nat1 - self.alpha * bp_nat1
         cav_prec = -2.0 * cav_nat2
-        cav_covs = jnp.linalg.solve(cav_prec, jnp.broadcast_to(eye, cav_prec.shape))
+        cav_covs = solve_small(cav_prec, jnp.broadcast_to(eye, cav_prec.shape))
         cav_means = jnp.einsum("...ij,...j->...i", cav_covs, cav_nat1)
         emission = self._emission()
         return emission.project_state_marginals_to_f(cav_means, cav_covs)

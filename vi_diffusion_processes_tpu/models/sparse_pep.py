@@ -29,6 +29,7 @@ from ..ssm.mean_functions import MeanFunction
 from ..ssm.state_space_model import StateSpaceModel
 from ..ssm.transforms import naturals_to_ssm
 from .posterior import AnalyticPosteriorProcess
+from ..utils.linalg import solve_small
 
 __all__ = ["SparsePowerExpectationPropagation"]
 
@@ -127,7 +128,7 @@ class SparsePowerExpectationPropagation:
         pw_means, pw_covs = marginals
         d2 = pw_covs.shape[-1]
         eye = jnp.eye(d2, dtype=pw_covs.dtype)
-        pw_prec = jnp.linalg.solve(pw_covs, jnp.broadcast_to(eye, pw_covs.shape))
+        pw_prec = solve_small(pw_covs, jnp.broadcast_to(eye, pw_covs.shape))
         pw_nat2 = -0.5 * pw_prec
         pw_nat1 = jnp.einsum("...ij,...j->...i", pw_prec, pw_means)
 
@@ -137,7 +138,7 @@ class SparsePowerExpectationPropagation:
         cav_nat2 = pw_nat2[idx] - self.alpha * fractions[..., None, None] * self.nat2[idx]
 
         cav_prec = -2.0 * cav_nat2
-        cav_covs = jnp.linalg.solve(cav_prec, jnp.broadcast_to(eye, cav_prec.shape))
+        cav_covs = solve_small(cav_prec, jnp.broadcast_to(eye, cav_prec.shape))
         cav_means = jnp.einsum("...ij,...j->...i", cav_covs, cav_nat1)
 
         p, t, _ = conditional_statistics(time_points, self.inducing_points, self.kernel)

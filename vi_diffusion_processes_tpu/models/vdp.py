@@ -29,7 +29,7 @@ from ..sde.base import SDE
 from ..sde.drift import LinearDrift, linear_drift_to_ssm
 from ..sde.utils import Gaussian, squared_drift_difference_along_Gaussian_path
 from ..ssm.state_space_model import StateSpaceModel
-from ..utils.linalg import gaussian_kl
+from ..utils.linalg import gaussian_kl, inv_small
 
 __all__ = ["VariationalMarkovGP"]
 
@@ -268,8 +268,8 @@ class VariationalMarkovGP:
         d = self.state_dim
         p_cov = self.p_initial_cov
         new_mean = self.p_initial_mean - jnp.einsum("ij,j->i", p_cov, self.lambda_lagrange[0])
-        p_prec = jnp.linalg.inv(p_cov)
-        new_cov = jnp.linalg.inv(p_prec + 2.0 * self.psi_lagrange[0])
+        p_prec = inv_small(p_cov)
+        new_cov = inv_small(p_prec + 2.0 * self.psi_lagrange[0])
         return self.replace(
             q_initial_mean=(1.0 - lr) * self.q_initial_mean + lr * new_mean,
             q_initial_cov=(1.0 - lr) * self.q_initial_cov + lr * new_cov,

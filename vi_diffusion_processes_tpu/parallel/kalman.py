@@ -23,6 +23,7 @@ from .sites import (
 
 from ..ssm.emission import EmissionModel
 from ..ssm.state_space_model import StateSpaceModel
+from ..utils.linalg import solve_small
 from .pskf import (
     filter_smoother_with_sites,
     parallel_filter,
@@ -113,7 +114,7 @@ class KalmanFilterWithSparseSites:
         m = self.sites.nat2.shape[-1]
         site_prec_f = -2.0 * self.sites.nat2
         chol = jnp.linalg.cholesky(site_prec_f)
-        alpha = jnp.linalg.solve(site_prec_f, self.sites.nat1[..., None])[..., 0]
+        alpha = solve_small(site_prec_f, self.sites.nat1[..., None])[..., 0]
         quad = jnp.einsum("...i,...i->...", self.sites.nat1, alpha)
         logdet = 2.0 * jnp.sum(
             jnp.log(jnp.abs(jnp.diagonal(chol, axis1=-2, axis2=-1))), axis=-1

@@ -269,10 +269,9 @@ def site_log_normalizer(
     p = filt.pred_covs
     m = filt.pred_means
     ipl = eye + p @ nat2_prec
-    if d == 1:
-        logdet = jnp.log(ipl[..., 0, 0])
-    else:
-        _, logdet = jnp.linalg.slogdet(ipl)
+    from ..utils.linalg import logdet_pos
+
+    logdet = logdet_pos(ipl)  # LU-free: TPU has no f64 slogdet
     ipl_inv_m = _solve(ipl, m[..., None])[..., 0]
     ipl_inv_p = _solve(ipl, p)
     term_quad_m = -0.5 * jnp.einsum("...i,...ij,...j->...", m, nat2_prec, ipl_inv_m)

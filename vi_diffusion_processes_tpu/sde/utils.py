@@ -22,7 +22,7 @@ from jax import lax
 from ..ops.quadrature import mvnquad
 from ..ssm.state_space_model import StateSpaceModel
 from ..ssm.transforms import expectations_to_ssm_params, ssm_to_expectations, ssm_to_naturals
-from ..utils.linalg import gaussian_kl, transpose_last
+from ..utils.linalg import gaussian_kl, transpose_last, inv_small
 from .base import SDE
 from .drift import LinearDrift, linear_drift_to_ssm
 
@@ -120,7 +120,7 @@ def squared_drift_difference_along_Gaussian_path(
     time, in one vectorized quadrature call."""
     m, s = q
     sigma = sde_p.q.astype(m.dtype)
-    sigma_inv = jnp.linalg.inv(sigma)
+    sigma_inv = inv_small(sigma)
 
     def func(x):  # x: [N, P, d]
         lin = jnp.einsum("nij,npj->npi", linear_drift.A, x) + linear_drift.b[:, None, :]

@@ -9,6 +9,7 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 from flax import struct
+from ..utils.linalg import inv_small
 
 __all__ = ["MeanFunction", "ZeroMeanFunction", "LinearMeanFunction", "ImpulseMeanFunction", "StepMeanFunction"]
 
@@ -77,7 +78,7 @@ class StepMeanFunction(MeanFunction):
 
     def __call__(self, time_points):
         f = self.kernel.feedback_matrix
-        f_inv = jnp.linalg.inv(f)
+        f_inv = inv_small(f)
         d = f.shape[-1]
         k = self.action_times.shape[0]
 

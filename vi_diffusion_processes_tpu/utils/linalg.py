@@ -84,10 +84,50 @@ def chol_psd(x: jnp.ndarray) -> jnp.ndarray:
 
 
 def solve_small(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
-    """``a⁻¹ b`` with a scalar fast path for 1×1 systems."""
+    """``a⁻¹ b`` with a scalar fast path for 1×1 systems.
+
+    float64 systems solve via QR: TPU XLA implements Cholesky, QR, and
+    triangular_solve for f64 but NOT LuDecomposition (``jnp.linalg.solve``
+    / ``inv`` / ``slogdet`` abort the TPU compiler with "Only F32 and C64
+    types are implemented in LuDecomposition").  The matrices here are tiny
+    (d ≤ ~10), so QR's constant-factor cost is irrelevant.
+    """
     if a.shape[-1] == 1 and b.shape[-2] == 1:
         return b / a[..., :1, :1]
+    if a.dtype == jnp.float64:
+        return qr_solve(a, b)
     return jnp.linalg.solve(a, b)
+
+
+def qr_solve(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Solve ``a x = b`` for general square ``a`` via Householder QR
+    (TPU-supported in f64, unlike LU)."""
+    q, r = jnp.linalg.qr(a)
+    a_, b_ = _broadcast_batch(a, b)
+    qtb = transpose_last(jnp.broadcast_to(q, a_.shape)) @ b_
+    return lax.linalg.triangular_solve(
+        jnp.broadcast_to(r, a_.shape), qtb, left_side=True, lower=False
+    )
+
+
+def inv_small(a: jnp.ndarray) -> jnp.ndarray:
+    """``a⁻¹`` routed through :func:`solve_small` (LU-free under f64)."""
+    eye = jnp.eye(a.shape[-1], dtype=a.dtype)
+    return solve_small(a, jnp.broadcast_to(eye, a.shape))
+
+
+def logdet_pos(a: jnp.ndarray) -> jnp.ndarray:
+    """``log det a`` for matrices with positive determinant.
+
+    f64 uses ``Σ log |diag R|`` from QR (LU-free on TPU); other dtypes use
+    ``slogdet``.  1×1 short-circuits to ``log``.
+    """
+    if a.shape[-1] == 1:
+        return jnp.log(a[..., 0, 0])
+    if a.dtype == jnp.float64:
+        _, r = jnp.linalg.qr(a)
+        return jnp.sum(jnp.log(jnp.abs(jnp.diagonal(r, axis1=-2, axis2=-1))), axis=-1)
+    return jnp.linalg.slogdet(a)[1]
 
 
 def block_diag(matrices: Sequence[jnp.ndarray]) -> jnp.ndarray:
