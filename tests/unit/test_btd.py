@@ -125,3 +125,20 @@ def test_solve_sym(sym_btd, rng, batch_shape):
     np.testing.assert_allclose(
         got.reshape(batch_shape + (N * D,)), want, rtol=1e-7, atol=1e-9
     )
+
+
+def test_qr_solve_inv_logdet_match_numpy(rng):
+    """LU-free helpers (TPU f64 has no LuDecomposition) == NumPy LU results."""
+    from vi_diffusion_processes_tpu.utils.linalg import inv_small, logdet_pos, qr_solve, solve_small
+
+    a = jnp.asarray(rng.normal(size=(3, 4, 4))) + 4 * jnp.eye(4)
+    b = jnp.asarray(rng.normal(size=(3, 4, 2)))
+    np.testing.assert_allclose(qr_solve(a, b), np.linalg.solve(np.asarray(a), np.asarray(b)), rtol=1e-11, atol=1e-12)
+    np.testing.assert_allclose(solve_small(a, b), np.linalg.solve(np.asarray(a), np.asarray(b)), rtol=1e-11, atol=1e-12)
+    np.testing.assert_allclose(inv_small(a), np.linalg.inv(np.asarray(a)), rtol=1e-10, atol=1e-12)
+    np.testing.assert_allclose(logdet_pos(a), np.linalg.slogdet(np.asarray(a))[1], rtol=1e-12)
+    # broadcasting: unbatched matrix vs batched rhs
+    a1 = a[0]
+    np.testing.assert_allclose(
+        qr_solve(a1, b), np.linalg.solve(np.asarray(a1), np.asarray(b)), rtol=1e-11, atol=1e-12
+    )
