@@ -92,3 +92,35 @@ def test_checkpoint_roundtrip(tmp_path, rng):
     save_npz_artifacts(str(tmp_path / "artifacts.npz"), sites_nat1=model.sites.nat1)
     loaded = np.load(tmp_path / "artifacts.npz")
     np.testing.assert_allclose(loaded["sites_nat1"], model.sites.nat1)
+
+
+def test_serving_export_roundtrip(rng, tmp_path):
+    """jax.export serving artifact: frozen GPR predict == live predict
+    (utils/serving.py; no reference counterpart — TPU-native serving)."""
+    import jax
+
+    from vi_diffusion_processes_tpu.kernels.matern import Matern32
+    from vi_diffusion_processes_tpu.models.gpr import GaussianProcessRegression
+    from vi_diffusion_processes_tpu.utils.serving import (
+        export_jittable,
+        load_artifact,
+        save_artifact,
+    )
+
+    t = jnp.asarray(np.sort(rng.uniform(0, 3, 14)))
+    y = jnp.asarray(rng.normal(size=(14, 1)))
+    model = GaussianProcessRegression(
+        kernel=Matern32(lengthscale=jnp.asarray(0.8), variance=jnp.asarray(1.0)),
+        time_points=t, observations=y, chol_obs_covariance=jnp.asarray([[0.3]]),
+    )
+    spec = jax.ShapeDtypeStruct((9,), t.dtype)
+    artifact = export_jittable(lambda tn: model.posterior.predict_f(tn), spec)
+    path = tmp_path / "gpr_predict.stablehlo"
+    save_artifact(artifact, path)
+
+    predict = load_artifact(path)
+    t_new = jnp.linspace(0.2, 2.8, 9)
+    f_mu, f_var = predict(t_new)
+    ref_mu, ref_var = model.posterior.predict_f(t_new)
+    np.testing.assert_allclose(f_mu, ref_mu, rtol=1e-12)
+    np.testing.assert_allclose(f_var, ref_var, rtol=1e-12)
