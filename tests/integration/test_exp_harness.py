@@ -1,6 +1,7 @@
 """End-to-end experiment harness test (layer 8)."""
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from vi_diffusion_processes_tpu.exp.runners import ExperimentConfig, make_dataset, run_cvi_dp, run_vdp
 
@@ -78,3 +79,41 @@ def test_modify_time_grid_and_k_folds():
         assert (np.diff(np.asarray(tt)) >= 0).all()  # sorted within fold
         # disjoint cover of the data
         assert len(np.union1d(np.asarray(ty[:, 0]), np.asarray(sy[:, 0]))) == 20
+
+
+def test_config_from_yaml_with_overrides(tmp_path):
+    from vi_diffusion_processes_tpu.exp.runners import ExperimentConfig
+
+    p = tmp_path / "exp.yaml"
+    p.write_text(
+        "prior_sde: ou\n"
+        "prior_sde_kwargs: {decay: 1.5}\n"
+        "num_grid: 501\n"
+        "clip_state_transitions: [-2.0, 2.0]\n"
+    )
+    cfg = ExperimentConfig.from_yaml(
+        p, overrides=["sites_lr=0.25", "prior_sde_kwargs.decay=3.0", "learn_prior_sde=true"]
+    )
+    assert cfg.prior_sde == "ou" and cfg.num_grid == 501
+    assert cfg.sites_lr == 0.25 and cfg.learn_prior_sde is True
+    assert cfg.prior_sde_kwargs["decay"] == 3.0
+    assert cfg.clip_state_transitions == (-2.0, 2.0)
+
+    with pytest.raises(ValueError, match="unknown config key"):
+        ExperimentConfig.from_yaml(p, overrides=["not_a_key=1"])
+    p.write_text("bogus_field: 3\n")
+    with pytest.raises(ValueError, match="unknown config keys"):
+        ExperimentConfig.from_yaml(p)
+
+
+def test_metrics_logger_jsonl(tmp_path):
+    from vi_diffusion_processes_tpu.exp.logging import MetricsLogger
+
+    log = MetricsLogger(tmp_path / "run" / "metrics.jsonl")
+    for i in range(3):
+        log.log(i, elbo=-10.0 + i, rmse=0.5 / (i + 1))
+    records = log.read()
+    assert [r["step"] for r in records] == [0, 1, 2]
+    assert records[2]["elbo"] == -8.0
+    assert all("wall_time" in r for r in records)
+    log.close()

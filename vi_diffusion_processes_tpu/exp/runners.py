@@ -50,6 +50,39 @@ class ExperimentConfig:
     vdp_lr: float = 0.05
     vdp_warmup_steps: int = 20
 
+    @classmethod
+    def from_yaml(cls, path, overrides=()) -> "ExperimentConfig":
+        """Load a config from YAML with Hydra-style ``key=value`` override
+        strings (the reference's CLI pattern,
+        docs/diffusion_processes/README.md:37-49).  Dotted keys index into
+        dict fields (``prior_sde_kwargs.decay=2.0``); values parse as YAML
+        scalars so ``true``/``1e-3``/``[a,b]`` behave as expected."""
+        import pathlib
+
+        import yaml
+
+        raw = yaml.safe_load(pathlib.Path(path).read_text()) or {}
+        known = {f.name for f in dataclasses.fields(cls)}
+        unknown = set(raw) - known
+        if unknown:
+            raise ValueError(f"unknown config keys in {path}: {sorted(unknown)}")
+        config = cls(**raw)
+        for item in overrides:
+            key, _, value = item.partition("=")
+            if not _:
+                raise ValueError(f"override must be key=value, got {item!r}")
+            value = yaml.safe_load(value)
+            head, _, rest = key.partition(".")
+            if head not in known:
+                raise ValueError(f"unknown config key: {head!r}")
+            if rest:
+                getattr(config, head)[rest] = value
+            else:
+                setattr(config, head, value)
+        if isinstance(config.clip_state_transitions, list):
+            config.clip_state_transitions = tuple(config.clip_state_transitions)
+        return config
+
 
 def make_dataset(config: ExperimentConfig) -> DPDataset:
     sde = build_prior_sde(config.prior_sde, q=config.q, **config.prior_sde_kwargs)
