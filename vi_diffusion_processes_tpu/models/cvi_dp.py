@@ -58,6 +58,13 @@ def _scatter_rows(values: jnp.ndarray, indices: jnp.ndarray, length: int) -> jnp
     return out.at[indices].add(values)
 
 
+def _prior_nats_f64(dist_p: StateSpaceModel) -> BTDNaturals:
+    """Prior SSM → naturals in the precision dtype (f64 under x64)."""
+    dtype = jnp.float64 if jax.config.jax_enable_x64 else dist_p.initial_mean.dtype
+    up = jax.tree_util.tree_map(lambda x: x.astype(dtype), dist_p)
+    return ssm_to_btd_nat(up)
+
+
 @struct.dataclass
 class CVISitesSSM:
     """Site-parameterized posterior over an SSM prior
@@ -73,6 +80,10 @@ class CVISitesSSM:
     prior_initial_state: Gaussian
     fx_mus: jnp.ndarray  # cached posterior path means [T, d]
     fx_covs: jnp.ndarray  # cached posterior path covs [T, d, d]
+    # prior-as-naturals cache (f64): ``ssm_to_btd_nat`` runs whole-grid f64
+    # solves, and ``dist_p`` only changes at (re)linearization — recomputing
+    # it inside every ``dist_q`` costs ~25% of a full natgrad step at 100k
+    prior_nats: Optional[BTDNaturals] = None
 
     # ----------------------------------------------------------- construction
     @classmethod
@@ -111,6 +122,9 @@ class CVISitesSSM:
             nat2=1e-10 * jnp.broadcast_to(eye, observations.shape + (d,)),
         )
         obs_indices = jnp.searchsorted(time_grid, obs_times)
+        kwargs.setdefault(
+            "prior_nats", None if prior_ssm is None else _prior_nats_f64(prior_ssm)
+        )
         return cls(
             dist_p=prior_ssm,
             likelihood=likelihood,
@@ -146,11 +160,13 @@ class CVISitesSSM:
         x64 disabled the casts are no-ops and the float32-stable windowed
         Riccati path (Pallas on TPU) keeps things finite.
         """
-        up = lambda tree: jax.tree_util.tree_map(
-            lambda x: x.astype(jnp.float64), tree
-        )
         t = self.time_grid.shape[0]
-        p_nats = ssm_to_btd_nat(up(self.dist_p))
+        p_nats = self.prior_nats
+        if p_nats is None:
+            p_nats = _prior_nats_f64(self.dist_p)
+        up = lambda tree: jax.tree_util.tree_map(
+            lambda x: x.astype(p_nats.nat1.dtype), tree
+        )
         data_nat1 = _scatter_rows(self.data_sites.nat1, self.obs_indices, t).astype(jnp.float64)
         data_nat2 = _scatter_rows(self.data_sites.nat2, self.obs_indices, t).astype(jnp.float64)
         g = up(self.girsanov_sites)
@@ -343,7 +359,7 @@ class CVISitesSDE(CVISitesSSM):
                 state_transitions=jnp.clip(lin.state_transitions, lo, hi),
                 state_offsets=jnp.clip(lin.state_offsets, lo, hi),
             )
-        return self.replace(dist_p=lin)
+        return self.replace(dist_p=lin, prior_nats=_prior_nats_f64(lin))
 
     def relinearize(self) -> "CVISitesSDE":
         """Outer-loop step: re-linearize AND re-base the Girsanov sites so
