@@ -66,22 +66,32 @@ class ExperimentConfig:
         unknown = set(raw) - known
         if unknown:
             raise ValueError(f"unknown config keys in {path}: {sorted(unknown)}")
-        config = cls(**raw)
+        return cls(**raw)._apply_overrides(overrides)
+
+    @classmethod
+    def from_yaml_overrides(cls, overrides=()) -> "ExperimentConfig":
+        """Defaults + ``key=value`` overrides only (no YAML file)."""
+        return cls()._apply_overrides(overrides)
+
+    def _apply_overrides(self, overrides) -> "ExperimentConfig":
+        import yaml
+
+        known = {f.name for f in dataclasses.fields(self)}
         for item in overrides:
-            key, _, value = item.partition("=")
-            if not _:
+            key, sep, value = item.partition("=")
+            if not sep:
                 raise ValueError(f"override must be key=value, got {item!r}")
             value = yaml.safe_load(value)
             head, _, rest = key.partition(".")
             if head not in known:
                 raise ValueError(f"unknown config key: {head!r}")
             if rest:
-                getattr(config, head)[rest] = value
+                getattr(self, head)[rest] = value
             else:
-                setattr(config, head, value)
-        if isinstance(config.clip_state_transitions, list):
-            config.clip_state_transitions = tuple(config.clip_state_transitions)
-        return config
+                setattr(self, head, value)
+        if isinstance(self.clip_state_transitions, list):
+            self.clip_state_transitions = tuple(self.clip_state_transitions)
+        return self
 
 
 def make_dataset(config: ExperimentConfig) -> DPDataset:
