@@ -1,0 +1,159 @@
+"""Secondary benchmarks: BASELINE.md parity configs beyond the north star.
+
+Each benchmark prints one JSON line.  Run on the default device::
+
+    python benchmarks/secondary.py            # all
+    python benchmarks/secondary.py gpr_100k   # one
+
+Configs (BASELINE.json):
+  1. ``gpr_100k``     — exact GPR log-marginal + hyperparameter gradient,
+                        Matern32, N=100k (config #1 scaled to the TPU regime)
+  4. ``cvi_poisson_100k`` — non-conjugate CVI (Poisson), 100k-point series:
+                        site update + ELBO per step (config #4)
+  5. ``batched_cvi_dp``   — 8 double-well trajectories vmapped on one chip,
+                        full natgrad step (config #5)
+"""
+import json
+import pathlib
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
+
+
+def _setup():
+    import jax
+
+    jax.config.update("jax_enable_x64", True)
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_tpu_cache")
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    return jax
+
+
+def _time(run, warmup_out, n=16, inner=2):
+    import jax
+
+    state = warmup_out
+    t0 = time.perf_counter()
+    done = 0
+    while done < n:
+        state = run(state)
+        done += inner
+    jax.block_until_ready(jax.tree_util.tree_leaves(state)[0])
+    return (time.perf_counter() - t0) / done
+
+
+def gpr_100k():
+    jax = _setup()
+    import jax.numpy as jnp
+
+    from vi_diffusion_processes_tpu.kernels import Matern32
+    from vi_diffusion_processes_tpu.models import GaussianProcessRegression
+
+    n = 100_000
+    rng = np.random.default_rng(0)
+    t = jnp.linspace(0.0, 100.0, n, dtype=jnp.float32)
+    y = jnp.asarray(
+        (np.sin(0.3 * np.asarray(t)) + 0.3 * rng.normal(size=n))[:, None], jnp.float32
+    )
+
+    def loss(params):
+        model = GaussianProcessRegression(
+            kernel=Matern32(lengthscale=params["l"], variance=params["v"]),
+            time_points=t, observations=y,
+            chol_obs_covariance=params["r"][None, None],
+        )
+        return -model.log_likelihood()
+
+    grad = jax.value_and_grad(loss)
+    params = {"l": jnp.float32(1.0), "v": jnp.float32(1.0), "r": jnp.float32(0.3)}
+
+    @jax.jit
+    def run(p):
+        def body(pp, _):
+            val, g = grad(pp)
+            return jax.tree_util.tree_map(lambda x, gg: x - 1e-3 * gg, pp, g), val
+        p, vals = jax.lax.scan(body, p, None, length=2)
+        return p
+
+    p = run(params)
+    jax.block_until_ready(p["l"])
+    dt = _time(run, p)
+    return {"metric": "gpr_loglik_grad_100k", "value": round(1 / dt, 2), "unit": "steps/sec"}
+
+
+def cvi_poisson_100k():
+    jax = _setup()
+    import jax.numpy as jnp
+
+    from vi_diffusion_processes_tpu.kernels import Matern32
+    from vi_diffusion_processes_tpu.likelihoods import Poisson
+    from vi_diffusion_processes_tpu.models import CVIGaussianProcess
+
+    n = 100_000
+    rng = np.random.default_rng(0)
+    t = jnp.linspace(0.0, 100.0, n, dtype=jnp.float32)
+    rate = np.exp(0.8 * np.sin(0.3 * np.asarray(t)))
+    y = jnp.asarray(rng.poisson(rate)[:, None].astype(np.float32))
+    model = CVIGaussianProcess.initialize(
+        Matern32(lengthscale=jnp.asarray(1.0, jnp.float32), variance=jnp.asarray(1.0, jnp.float32)),
+        Poisson(), t, y, learning_rate=0.3,
+    )
+
+    @jax.jit
+    def run(m):
+        def body(mm, _):
+            mm = mm.update_sites()
+            return mm, mm.elbo()
+        m, elbos = jax.lax.scan(body, m, None, length=2)
+        return m
+
+    m = run(model)
+    jax.block_until_ready(m.sites.nat1)
+    dt = _time(run, m)
+    return {"metric": "cvi_poisson_site_step_100k", "value": round(1 / dt, 2), "unit": "steps/sec"}
+
+
+def batched_cvi_dp():
+    jax = _setup()
+    import jax.numpy as jnp
+
+    sys.path.insert(0, ".")
+    from bench import build_model
+
+    batch = 8
+    models = [build_model(10_000, jnp.float32) for _ in range(batch)]
+    stacked = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *models)
+
+    @jax.jit
+    def run(ms):
+        def body(mm, _):
+            def one(m):
+                m = m.update_data_sites(0.3).update_girsanov_sites(0.3)
+                return m, m.classic_elbo()
+            mm, elbos = jax.vmap(one)(mm)
+            return mm, elbos
+        ms, _ = jax.lax.scan(body, ms, None, length=2)
+        return ms
+
+    ms = run(stacked)
+    jax.block_until_ready(ms.time_grid)
+    dt = _time(run, ms)
+    return {
+        "metric": "batched8_cvi_dp_step_10k",
+        "value": round(1 / dt, 2),
+        "unit": "steps/sec (8 trajectories each)",
+    }
+
+
+ALL = {"gpr_100k": gpr_100k, "cvi_poisson_100k": cvi_poisson_100k,
+       "batched_cvi_dp": batched_cvi_dp}
+
+
+if __name__ == "__main__":
+    names = sys.argv[1:] or list(ALL)
+    for name in names:
+        print(json.dumps(ALL[name]()), flush=True)

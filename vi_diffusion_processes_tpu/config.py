@@ -10,8 +10,22 @@ is emulated and slow, so we make the default dtype configurable:
 """
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
+
+# State-space recursions are matmul-precision-critical: transitions are
+# A ≈ I − εF with ε = Δt/ℓ often below bfloat16's 2⁻⁸ epsilon, so TPU's
+# default bf16 matmul precision rounds A to I and silently corrupts every
+# filter/smoother/covariance recursion (measured: GPR log-lik = NaN at a
+# 100k grid in f32 under the default, correct under HIGHEST).  Every matmul
+# in this library is a tiny d≤10 block where the MXU's bf16 speedup is
+# irrelevant, so the package default is full-f32 products.  Opt out (e.g.
+# for large custom emission/MLP layers in the same program) with
+# VI_DP_TPU_ALLOW_BF16_MATMUL=1 and scope HIGHEST locally instead.
+if not os.environ.get("VI_DP_TPU_ALLOW_BF16_MATMUL"):
+    jax.config.update("jax_default_matmul_precision", "highest")
 
 _DEFAULT_FLOAT = None
 
