@@ -329,16 +329,27 @@ def btd_udu_parallel_1d(k: BTD, block_size: int = 512) -> Tuple[jnp.ndarray, jnp
     """
     kd = k.diag[..., 0, 0]  # [..., N]
     ks = k.sub[..., 0, 0]  # [..., N-1]
-    n = kd.shape[-1]
-    batch = kd.shape[:-1]
 
     b2 = jnp.concatenate([ks**2, jnp.zeros_like(kd[..., :1])], axis=-1)  # B_N = 0
+    d_scalar = riccati_d_scalar(kd, b2, block_size)
 
+    # U_k = K[k,k+1] / D_{k+1} = B_kᵀ/D_{k+1} (scalar: sub_k / D_{k+1})
+    u_scalar = ks / d_scalar[..., 1:]
+    return d_scalar[..., :, None, None], u_scalar[..., :, None, None]
+
+
+def riccati_d_scalar(kd: jnp.ndarray, b2: jnp.ndarray, block_size: int = 512) -> jnp.ndarray:
+    """Dtype/backend dispatch for the scalar Riccati sweep on ``[..., N]``
+    channels (see :func:`btd_udu_parallel_1d` for the stability rationale):
+    f64 → exact global Möbius scan; f32 on TPU → Pallas windowed sweep;
+    otherwise → windowed XLA scans."""
+    n = kd.shape[-1]
+    batch = kd.shape[:-1]
     if kd.dtype == jnp.float64:
         # f64 is exact under the log-depth global Möbius scan — lowest
         # latency (no windowing needed)
-        d_scalar = _riccati_d_global_scan(kd, b2)
-    elif (
+        return _riccati_d_global_scan(kd, b2)
+    if (
         not batch
         and kd.dtype == jnp.float32
         and n >= 1024
@@ -346,13 +357,8 @@ def btd_udu_parallel_1d(k: BTD, block_size: int = 512) -> Tuple[jnp.ndarray, jnp
     ):
         from .pallas_riccati import riccati_d_sweep
 
-        d_scalar = riccati_d_sweep(kd, b2)
-    else:
-        d_scalar = _riccati_d_xla(kd, b2, block_size)
-
-    # U_k = K[k,k+1] / D_{k+1} = B_kᵀ/D_{k+1} (scalar: sub_k / D_{k+1})
-    u_scalar = ks / d_scalar[..., 1:]
-    return d_scalar[..., :, None, None], u_scalar[..., :, None, None]
+        return riccati_d_sweep(kd, b2)
+    return _riccati_d_xla(kd, b2, block_size)
 
 
 def _riccati_d_xla(kd: jnp.ndarray, b2: jnp.ndarray, block_size: int) -> jnp.ndarray:
