@@ -78,26 +78,36 @@ def bench_tpu(grid_size: int = 100_000, n_steps: int = 16, inner: int = 2) -> fl
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
+    from vi_diffusion_processes_tpu.models.cvi_dp_packed import (
+        pack_state,
+        packed_natgrad_step,
+    )
+
     dtype = jnp.float32
     model = build_model(grid_size, dtype)
+    # d=1 structure-of-scalars hot loop (models/cvi_dp_packed.py): same
+    # update_data_sites → update_girsanov_sites → classic_elbo iteration,
+    # carried on rank-1 buffers (TPU tile padding makes the generic
+    # [T,1,1] layout memory-bound)
+    state = jax.jit(pack_state)(model)
 
     @jax.jit
-    def run_inner(m, lr):
-        def body(mm, _):
-            mm = mm.update_data_sites(lr).update_girsanov_sites(lr)
-            return mm, mm.classic_elbo()
+    def run_inner(st, lr):
+        def body(s, _):
+            s2, elbo = packed_natgrad_step(model, s, lr)
+            return s2, elbo
 
-        m, elbos = jax.lax.scan(body, m, None, length=inner)
-        return m, elbos[-1]
+        st, elbos = jax.lax.scan(body, st, None, length=inner)
+        return st, elbos[-1]
 
     # compile + warmup
-    model, elbo = run_inner(model, 0.3)
+    state, elbo = run_inner(state, 0.3)
     jax.block_until_ready(elbo)
 
     t0 = time.perf_counter()
     done = 0
     while done < n_steps:
-        model, elbo = run_inner(model, 0.3)
+        state, elbo = run_inner(state, 0.3)
         done += inner
     jax.block_until_ready(elbo)
     dt = (time.perf_counter() - t0) / done

@@ -50,17 +50,28 @@ class PackedCVIState(struct.PyTreeNode):
     g_nat1: jnp.ndarray  # [T]   girsanov sites, model dtype
     g_nat2d: jnp.ndarray  # [T]
     g_nat2s: jnp.ndarray  # [T-1]
-    d_nat1: jnp.ndarray  # [n_obs] data sites, model dtype
-    d_nat2: jnp.ndarray  # [n_obs]
+    d_nat1: jnp.ndarray  # [T]   data sites, DENSE (zero off-observation)
+    d_nat2: jnp.ndarray  # [T]
     fx_mu: jnp.ndarray  # [T]   cached posterior marginals, model dtype
     fx_var: jnp.ndarray  # [T]
     p_nat1: jnp.ndarray  # [T]   prior-as-naturals (f64 under x64)
     p_nat2d: jnp.ndarray  # [T]
     p_nat2s: jnp.ndarray  # [T-1]
+    obs_mask: jnp.ndarray  # [T]  1.0 at observation grid points
+    y_dense: jnp.ndarray  # [T]  observations scattered onto the grid
 
 
 def pack_state(model: CVISitesSDE) -> PackedCVIState:
-    """Squeeze a ``d = 1`` model's mutable state into rank-1 arrays."""
+    """Squeeze a ``d = 1`` model's mutable state into rank-1 arrays.
+
+    Data sites are held DENSELY on the grid (zeros off-observation, with a
+    precomputed mask): TPU scatters serialize per index, and the generic
+    step's two ``at[obs].add`` scatters alone cost ~2.3 ms at T=100k —
+    more than all the f64 scan compute combined.  The dense form makes
+    every in-loop site operation a masked elementwise op.  Requires unique
+    observation indices (the reference's sparse-site models assume the
+    same, kalman_filter.py:541-551).
+    """
     if model.state_dim != 1:
         raise ValueError("packed CVI-DP fast path requires state_dim == 1")
     g = model.girsanov_sites
@@ -70,22 +81,29 @@ def pack_state(model: CVISitesSDE) -> PackedCVIState:
         from .cvi_dp import _prior_nats_f64
 
         p = _prior_nats_f64(model.dist_p)
+    t = model.time_grid.shape[0]
+    dtype = model.time_grid.dtype
+    obs_idx = model.obs_indices
+    mask = jnp.zeros(t, dtype).at[obs_idx].set(1.0)
     return PackedCVIState(
         g_nat1=g.nat1[..., 0],
         g_nat2d=g.nat2_diag[..., 0, 0],
         g_nat2s=g.nat2_sub[..., 0, 0],
-        d_nat1=ds.nat1[..., 0],
-        d_nat2=ds.nat2[..., 0, 0],
+        d_nat1=jnp.zeros(t, dtype).at[obs_idx].set(ds.nat1[..., 0]),
+        d_nat2=jnp.zeros(t, dtype).at[obs_idx].set(ds.nat2[..., 0, 0]),
         fx_mu=model.fx_mus[..., 0],
         fx_var=model.fx_covs[..., 0, 0],
         p_nat1=p.nat1[..., 0],
         p_nat2d=p.nat2_diag[..., 0, 0],
         p_nat2s=p.nat2_sub[..., 0, 0],
+        obs_mask=mask,
+        y_dense=jnp.zeros(t, dtype).at[obs_idx].set(model.observations[..., 0]),
     )
 
 
 def unpack_state(model: CVISitesSDE, state: PackedCVIState) -> CVISitesSDE:
     """Restore a packed state into the API-shaped model pytree."""
+    obs_idx = model.obs_indices
     return model.replace(
         girsanov_sites=BTDNaturals(
             nat1=state.g_nat1[:, None],
@@ -93,23 +111,15 @@ def unpack_state(model: CVISitesSDE, state: PackedCVIState) -> CVISitesSDE:
             nat2_sub=state.g_nat2s[:, None, None],
         ),
         data_sites=DataSites(
-            nat1=state.d_nat1[:, None], nat2=state.d_nat2[:, None, None]
+            nat1=state.d_nat1[obs_idx][:, None],
+            nat2=state.d_nat2[obs_idx][:, None, None],
         ),
         fx_mus=state.fx_mu[:, None],
         fx_covs=state.fx_var[:, None, None],
     )
 
 
-def _scalar_affine_scan(t, c, x0, *, reverse=False):
-    """``x_k = t_k x_{k±1} + c_k`` on scalar channels (ops/btd.py:452-473)."""
-
-    def comp(e1, e2):
-        a1, b1 = e1
-        a2, b2 = e2
-        return a2 * a1, a2 * b1 + b2
-
-    ca, cb = lax.associative_scan(comp, (t, c), reverse=reverse)
-    return ca * x0 + cb
+from ..ops.btd import scalar_affine_all as _scalar_affine_scan  # noqa: E402
 
 
 def _naturals_to_ssm_1d(nat1, nat2d, nat2s):
@@ -136,28 +146,34 @@ def _naturals_to_ssm_1d(nat1, nat2d, nat2s):
 
 
 def _marginals_1d(a, b, qv, mu0, p0v):
-    """Scalar-channel marginal means/vars (ssm/state_space_model.py:122-159)."""
+    """Scalar-channel marginal means/vars (ssm/state_space_model.py:122-159),
+    blocked scan layout for long grids (ops/blocked_scan.py)."""
 
     def comp(e1, e2):
         a1, b1, q1 = e1
         a2, b2, q2 = e2
         return a2 * a1, a2 * b1 + b2, a2 * q1 * a2 + q2
 
-    ca, cb, cq = lax.associative_scan(comp, (a, b, qv))
+    if a.ndim == 1 and a.shape[0] >= 4096:
+        from ..ops.blocked_scan import blocked_assoc_scan
+
+        ca, cb, cq = blocked_assoc_scan(
+            comp, (a, b, qv), identity=(1.0, 0.0, 0.0)
+        )
+    else:
+        ca, cb, cq = lax.associative_scan(comp, (a, b, qv))
     means = jnp.concatenate([mu0[None], ca * mu0 + cb])
     varis = jnp.concatenate([p0v[None], ca * p0v * ca + cq])
     return means, varis
 
 
-def _dist_q_1d(state: PackedCVIState, obs_indices, compute_dtype):
+def _dist_q_1d(state: PackedCVIState, compute_dtype):
     """``full_sites`` + ``naturals_to_ssm`` + ``marginals`` on scalar
-    channels (cvi_dp.py full_sites/dist_q; f64 naturals algebra, f32 out)."""
-    t = state.g_nat1.shape[0]
+    channels (cvi_dp.py full_sites/dist_q; f64 naturals algebra, f32 out).
+    Data sites are already dense, so the site sum is pure elementwise."""
     f64 = state.p_nat1.dtype
-    data1 = jnp.zeros(t, f64).at[obs_indices].add(state.d_nat1.astype(f64))
-    data2 = jnp.zeros(t, f64).at[obs_indices].add(state.d_nat2.astype(f64))
-    nat1 = state.p_nat1 + state.g_nat1.astype(f64) + data1
-    nat2d = state.p_nat2d + state.g_nat2d.astype(f64) + data2
+    nat1 = state.p_nat1 + state.g_nat1.astype(f64) + state.d_nat1.astype(f64)
+    nat2d = state.p_nat2d + state.g_nat2d.astype(f64) + state.d_nat2.astype(f64)
     nat2s = state.p_nat2s + state.g_nat2s.astype(f64)
     a, b, qv, mu0, p0v, _ = _naturals_to_ssm_1d(nat1, nat2d, nat2s)
     a = a.astype(compute_dtype)
@@ -226,10 +242,11 @@ def packed_natgrad_step(
     strips from the compiled step.
     """
     dtype = model.time_grid.dtype
-    obs_idx = model.obs_indices
     t = state.g_nat1.shape[0]
     dt = model.dt
     quad_z, quad_w = _quad_grid_1d(dtype)
+    mask = state.obs_mask
+    y = state.y_dense
 
     def drift_fn(x):  # [N, P] → [N, P] through the generic SDE API
         return model.prior_sde.drift(x[..., None])[..., 0]
@@ -241,27 +258,29 @@ def packed_natgrad_step(
     p_mu0 = model.prior_initial_state.mu[0].astype(dtype)
     p_var0 = model.prior_initial_state.cov[0, 0].astype(dtype)
 
-    # ---- update_data_sites(lr): VE grads at the cached marginals
-    m_obs = jnp.take(state.fx_mu, obs_idx)
-    v_obs = jnp.take(state.fx_var, obs_idx)
-    y = model.observations[..., 0]
+    def masked_ve(means, varis):
+        """Σ_obs E_q[log p(y|f)] evaluated densely under the mask."""
+        per_t = model.likelihood.variational_expectations(
+            means[:, None], varis[:, None], y[:, None]
+        )
+        return jnp.sum(mask * per_t)
 
+    # ---- update_data_sites(lr): VE grads at the cached marginals, dense
     def ve_of_eta(eta1, eta2):
         mu = eta1
         var = eta2 - eta1**2
-        return jnp.sum(
-            model.likelihood.variational_expectations(
-                mu[:, None], var[:, None], y[:, None]
-            )
-        )
+        return masked_ve(mu, var)
 
-    g1, g2 = jax.grad(ve_of_eta, argnums=(0, 1))(m_obs, v_obs + m_obs**2)
+    m0 = state.fx_mu
+    g1, g2 = jax.grad(ve_of_eta, argnums=(0, 1))(m0, state.fx_var + m0**2)
+    # off-observation entries of g are zero (mask), so the CVI update keeps
+    # the dense sites zero there: (1−lr)·0 + lr·0
     d_nat1 = (1.0 - lr) * state.d_nat1 + lr * g1
     d_nat2 = (1.0 - lr) * state.d_nat2 + lr * g2
     state = state.replace(d_nat1=d_nat1, d_nat2=d_nat2)
 
     # refreshed posterior after the data-site update (dist_q(B))
-    ssm_b, means_b, vars_b = _dist_q_1d(state, obs_idx, dtype)
+    ssm_b, means_b, vars_b = _dist_q_1d(state, dtype)
 
     # ---- update_girsanov_sites(lr): ∇_η KL at dist_q(B)
     a_b = ssm_b[0]
@@ -271,25 +290,17 @@ def packed_natgrad_step(
     grad_e1, grad_ed, grad_es = jax.grad(_kl_packed, argnums=(0, 1, 2))(
         e1, ed, es, drift_fn, p_var, p_mu0, p_var0, quad_z, quad_w, dt
     )
-    data1 = jnp.zeros(t, dtype).at[obs_idx].add(d_nat1)
-    data2 = jnp.zeros(t, dtype).at[obs_idx].add(d_nat2)
     state = state.replace(
-        g_nat1=state.g_nat1 + lr * (data1 - grad_e1),
-        g_nat2d=state.g_nat2d + lr * (data2 - grad_ed),
+        g_nat1=state.g_nat1 + lr * (d_nat1 - grad_e1),
+        g_nat2d=state.g_nat2d + lr * (d_nat2 - grad_ed),
         g_nat2s=state.g_nat2s - lr * grad_es,
     )
 
     # ---- refreshed posterior (dist_q(C)) + classic ELBO
-    ssm_c, means_c, vars_c = _dist_q_1d(state, obs_idx, dtype)
+    ssm_c, means_c, vars_c = _dist_q_1d(state, dtype)
     state = state.replace(fx_mu=means_c, fx_var=vars_c)
 
-    ve = jnp.sum(
-        model.likelihood.variational_expectations(
-            jnp.take(means_c, obs_idx)[:, None],
-            jnp.take(vars_c, obs_idx)[:, None],
-            y[:, None],
-        )
-    )
+    ve = masked_ve(means_c, vars_c)
     a_c = ssm_c[0]
     kl = _kl_packed(
         means_c,

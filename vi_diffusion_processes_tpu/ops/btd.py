@@ -341,11 +341,16 @@ def btd_udu_parallel_1d(k: BTD, block_size: int = 512) -> Tuple[jnp.ndarray, jnp
 def riccati_d_scalar(kd: jnp.ndarray, b2: jnp.ndarray, block_size: int = 512) -> jnp.ndarray:
     """Dtype/backend dispatch for the scalar Riccati sweep on ``[..., N]``
     channels (see :func:`btd_udu_parallel_1d` for the stability rationale):
-    f64 → exact global Möbius scan; f32 on TPU → Pallas windowed sweep;
-    otherwise → windowed XLA scans."""
+    f64 → exact global Möbius scan (blocked layout for long grids); f32 on
+    TPU → Pallas windowed sweep; otherwise → windowed XLA scans."""
     n = kd.shape[-1]
     batch = kd.shape[:-1]
     if kd.dtype == jnp.float64:
+        if not batch and n >= 4096:
+            # long grids: same Möbius composition through the blocked
+            # layout — lax.associative_scan's stride-2 slice/pad tree
+            # dominates device time otherwise (see ops/blocked_scan.py)
+            return _riccati_d_blocked(kd, b2)
         # f64 is exact under the log-depth global Möbius scan — lowest
         # latency (no windowing needed)
         return _riccati_d_global_scan(kd, b2)
@@ -430,6 +435,49 @@ def _riccati_d_xla(kd: jnp.ndarray, b2: jnp.ndarray, block_size: int) -> jnp.nda
     _, ds = lax.scan(sweep, d_bnd, (kd_blk, b2_blk, s_blk), reverse=True)
     d_blocks = jnp.moveaxis(ds, 0, -1)  # [..., nb, l]
     return d_blocks.reshape(batch + (nb * l,))[..., :n]
+
+
+def _riccati_d_blocked(kd: jnp.ndarray, b2: jnp.ndarray) -> jnp.ndarray:
+    """Global Möbius suffix scan via the blocked (slice-free) layout —
+    identical math to :func:`_riccati_d_global_scan`, different association
+    order (f64-exact either way)."""
+    from .blocked_scan import blocked_assoc_scan
+
+    def compose(a, b):
+        a00, a01, a10, a11 = a
+        b00, b01, b10, b11 = b
+        p00 = b00 * a00 + b01 * a10
+        p01 = b00 * a01 + b01 * a11
+        p10 = b10 * a00 + b11 * a10
+        p11 = b10 * a01 + b11 * a11
+        scale = jax.lax.rsqrt(p00**2 + p01**2 + p10**2 + p11**2 + 1e-300)
+        return p00 * scale, p01 * scale, p10 * scale, p11 * scale
+
+    c00, _, c10, _ = blocked_assoc_scan(
+        compose,
+        (kd, -b2, jnp.ones_like(kd), jnp.zeros_like(kd)),
+        identity=(1.0, 0.0, 0.0, 1.0),
+        reverse=True,
+    )
+    return c00 / c10
+
+
+def scalar_affine_all(t: jnp.ndarray, c: jnp.ndarray, x0, *, reverse: bool = False) -> jnp.ndarray:
+    """``x_k = t_k x_{k±1} + c_k`` on rank-1 scalar channels, blocked for
+    long grids (same semantics as the d=1 branch of :func:`affine_scan`)."""
+
+    def comp(e1, e2):
+        a1, b1 = e1
+        a2, b2_ = e2
+        return a2 * a1, a2 * b1 + b2_
+
+    if t.ndim == 1 and t.shape[0] >= 4096:
+        from .blocked_scan import blocked_assoc_scan
+
+        ca, cb = blocked_assoc_scan(comp, (t, c), identity=(1.0, 0.0), reverse=reverse)
+    else:
+        ca, cb = lax.associative_scan(comp, (t, c), reverse=reverse)
+    return ca * x0 + cb
 
 
 def _riccati_d_global_scan(kd: jnp.ndarray, b2: jnp.ndarray) -> jnp.ndarray:
