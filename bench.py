@@ -63,13 +63,13 @@ def build_model(grid_size: int, dtype):
     return jax.jit(lambda m: m.set_linearized_prior())(model)
 
 
-def bench_tpu(grid_size: int = 100_000, n_steps: int = 16, inner: int = 2) -> float:
+def bench_tpu(grid_size: int = 100_000, n_steps: int = 64, inner: int = 8) -> float:
     """Seconds per full CVI-DP natgrad step (data sites + Girsanov sites +
     ELBO each step) on the default JAX device.
 
-    ``inner`` steps run per dispatch inside one jitted ``lax.scan`` with
-    buffer donation — the realistic trainer inner loop (host dispatch of the
-    100k-element model pytree is otherwise the bottleneck, not compute).
+    ``inner`` steps run per dispatch inside one jitted ``lax.scan`` — the
+    realistic trainer inner loop (per-dispatch host overhead through the
+    device tunnel otherwise dominates at ~2.5 ms/step of compute).
     """
     import jax
     import jax.numpy as jnp

@@ -36,34 +36,36 @@ def _apply(fn, a, b):
     return tuple(out) if isinstance(out, (tuple, list)) else (out,)
 
 
+#: default window count — tuned on v5e: larger nb ⇒ fewer sequential scan
+#: iterations (the per-iteration dynamic-slice overhead dominates), at the
+#: cost of a slightly larger cross-window pass
+DEFAULT_NUM_BLOCKS = 4096
+
+
 def blocked_assoc_scan(
     fn: Callable,
     elems: Sequence[jnp.ndarray],
     identity: Sequence,
     *,
     reverse: bool = False,
-    num_blocks: int = 1024,
+    num_blocks: int = None,
 ) -> Tuple[jnp.ndarray, ...]:
     """Inclusive associative scan over the leading axis of rank-1 channels.
 
-    ``fn(earlier, later)`` combines two channel tuples (``lax.associative_scan``
-    convention); ``identity`` is its neutral element (scalars or 0-d arrays,
-    one per channel).  ``reverse=True`` computes suffix compositions, again
-    matching ``lax.associative_scan``.
+    ``fn(a, b)`` combines two channel tuples with ``a`` the cumulatively
+    combined LATER segment for reverse scans / EARLIER segment for forward
+    scans and ``b`` the adjacent element — exactly
+    ``lax.associative_scan``'s operand convention.  ``identity`` is ``fn``'s
+    neutral element (scalars, one per channel).  ``reverse=True`` computes
+    suffix compositions natively (a reverse ``lax.scan`` — no full-array
+    flips).
     """
     elems = tuple(elems)
     n = elems[0].shape[0]
     if n == 0:
         return elems
-
-    if reverse:
-        # lax.associative_scan(reverse=True) ≡ flip → forward scan with the
-        # SAME fn (no operand swap) → flip back
-        flipped = tuple(jnp.flip(e, axis=0) for e in elems)
-        out = blocked_assoc_scan(
-            fn, flipped, identity, reverse=False, num_blocks=num_blocks
-        )
-        return tuple(jnp.flip(o, axis=0) for o in out)
+    if num_blocks is None:
+        num_blocks = DEFAULT_NUM_BLOCKS
 
     nb = max(1, min(num_blocks, n))
     l = -(-n // nb)
@@ -75,6 +77,8 @@ def blocked_assoc_scan(
     )
     cols = []
     for e, ip in zip(elems, ident):
+        # identity padding at the tail is inert for forward prefixes and,
+        # because fn(acc, identity) = acc, also for reverse suffixes
         ep = jnp.concatenate([e, ip]) if pad else e
         # window w = contiguous chunk [w*l, (w+1)*l); lay out as [l, nb] so
         # each scan step combines one row (all windows in parallel)
@@ -85,19 +89,34 @@ def blocked_assoc_scan(
         for i, e in zip(identity, elems)
     )
 
-    def step(carry, row):
-        new = _apply(fn, carry, row)
-        return new, new
+    if reverse:
+        # carry = suffix accumulated over LATER rows; fn(carry, row)
+        def step(carry, row):
+            new = _apply(fn, carry, row)
+            return new, new
 
-    agg, within = lax.scan(step, ident_rows, tuple(cols))
+        agg, within = lax.scan(step, ident_rows, tuple(cols), reverse=True)
+        # exclusive suffix of the LATER windows (tiny: nb elements)
+        incl = lax.associative_scan(lambda a, b: _apply(fn, a, b), agg, reverse=True)
+        after = tuple(
+            jnp.concatenate([a[1:], jnp.broadcast_to(jnp.asarray(iv, a.dtype), (1,))])
+            for iv, a in zip(identity, incl)
+        )
+        # suffix over k..N = fn(later windows, within-window suffix)
+        out_rows = _apply(fn, tuple(a[None, :] for a in after), within)
+    else:
+        def step(carry, row):
+            new = _apply(fn, carry, row)
+            return new, new
 
-    # exclusive prefix of window aggregates (tiny: nb elements)
-    incl = lax.associative_scan(lambda a, b: _apply(fn, a, b), agg)
-    excl = tuple(
-        jnp.concatenate([jnp.broadcast_to(jnp.asarray(iv, a.dtype), (1,)), a[:-1]])
-        for iv, a in zip(identity, incl)
-    )
+        agg, within = lax.scan(step, ident_rows, tuple(cols))
+        # exclusive prefix of the EARLIER windows
+        incl = lax.associative_scan(lambda a, b: _apply(fn, a, b), agg)
+        before = tuple(
+            jnp.concatenate([jnp.broadcast_to(jnp.asarray(iv, a.dtype), (1,)), a[:-1]])
+            for iv, a in zip(identity, incl)
+        )
+        out_rows = _apply(fn, tuple(e[None, :] for e in before), within)
 
-    out_rows = _apply(fn, tuple(e[None, :] for e in excl), within)  # [l, nb]
     out = tuple(jnp.moveaxis(o, -1, 0).reshape(nb * l) for o in out_rows)
     return tuple(o[:n] for o in out)

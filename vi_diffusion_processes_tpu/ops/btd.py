@@ -513,7 +513,8 @@ def affine_scan(t_mats: jnp.ndarray, c_vecs: jnp.ndarray, x0: jnp.ndarray, *, re
     """
     d = t_mats.shape[-1]
     if d == 1:
-        # scalar fast path — keep the scan on the VPU
+        # scalar fast path — keep the scan on the VPU (blocked slice-free
+        # layout for long unbatched grids, ops/blocked_scan.py)
         t_t = jnp.moveaxis(t_mats[..., 0, 0], -1, 0)
         c_t = jnp.moveaxis(c_vecs[..., 0], -1, 0)
 
@@ -522,7 +523,14 @@ def affine_scan(t_mats: jnp.ndarray, c_vecs: jnp.ndarray, x0: jnp.ndarray, *, re
             a2, b2 = e2
             return a2 * a1, a2 * b1 + b2
 
-        ca, cb = lax.associative_scan(compose_s, (t_t, c_t), reverse=reverse)
+        if t_t.ndim == 1 and t_t.shape[0] >= 4096:
+            from .blocked_scan import blocked_assoc_scan
+
+            ca, cb = blocked_assoc_scan(
+                compose_s, (t_t, c_t), identity=(1.0, 0.0), reverse=reverse
+            )
+        else:
+            ca, cb = lax.associative_scan(compose_s, (t_t, c_t), reverse=reverse)
         xs = ca * x0[..., 0] + cb
         return jnp.moveaxis(xs, 0, -1)[..., None]
 

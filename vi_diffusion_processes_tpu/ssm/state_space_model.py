@@ -134,7 +134,16 @@ class StateSpaceModel:
                 a2, b2, q2 = e2
                 return a2 * a1, a2 * b1 + b2, a2 * q1 * a2 + q2
 
-            ca, cb, cq = lax.associative_scan(compose_s, (a_t, b_t, q_t))
+            if a_t.ndim == 1 and a_t.shape[0] >= 4096:
+                # blocked slice-free layout for long unbatched grids
+                # (ops/blocked_scan.py)
+                from ..ops.blocked_scan import blocked_assoc_scan
+
+                ca, cb, cq = blocked_assoc_scan(
+                    compose_s, (a_t, b_t, q_t), identity=(1.0, 0.0, 0.0)
+                )
+            else:
+                ca, cb, cq = lax.associative_scan(compose_s, (a_t, b_t, q_t))
             return ca[..., None, None], cb[..., None], cq[..., None, None]
         a_t = jnp.moveaxis(self.state_transitions, -3, 0)
         b_t = jnp.moveaxis(self.state_offsets, -2, 0)
