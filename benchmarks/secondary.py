@@ -33,7 +33,7 @@ def _setup():
     return jax
 
 
-def _time(run, warmup_out, n=16, inner=2):
+def _time(run, warmup_out, n=16, inner=1):
     import jax
 
     state = warmup_out
@@ -71,13 +71,13 @@ def gpr_100k():
     grad = jax.value_and_grad(loss)
     params = {"l": jnp.float32(1.0), "v": jnp.float32(1.0), "r": jnp.float32(0.3)}
 
+    # single step per dispatch: a lax.scan-of-value_and_grad body makes the
+    # remote TPU compiler pathologically slow (>25 min); dispatch overhead
+    # (~1-2 ms) is the measurement floor instead
     @jax.jit
     def run(p):
-        def body(pp, _):
-            val, g = grad(pp)
-            return jax.tree_util.tree_map(lambda x, gg: x - 1e-3 * gg, pp, g), val
-        p, vals = jax.lax.scan(body, p, None, length=2)
-        return p
+        val, g = grad(p)
+        return jax.tree_util.tree_map(lambda x, gg: x - 1e-3 * gg, p, g)
 
     p = run(params)
     jax.block_until_ready(p["l"])
@@ -105,11 +105,7 @@ def cvi_poisson_100k():
 
     @jax.jit
     def run(m):
-        def body(mm, _):
-            mm = mm.update_sites()
-            return mm, mm.elbo()
-        m, elbos = jax.lax.scan(body, m, None, length=2)
-        return m
+        return m.update_sites()
 
     m = run(model)
     jax.block_until_ready(m.sites.nat1)
@@ -130,13 +126,10 @@ def batched_cvi_dp():
 
     @jax.jit
     def run(ms):
-        def body(mm, _):
-            def one(m):
-                m = m.update_data_sites(0.3).update_girsanov_sites(0.3)
-                return m, m.classic_elbo()
-            mm, elbos = jax.vmap(one)(mm)
-            return mm, elbos
-        ms, _ = jax.lax.scan(body, ms, None, length=2)
+        def one(m):
+            m = m.update_data_sites(0.3).update_girsanov_sites(0.3)
+            return m, m.classic_elbo()
+        ms, _ = jax.vmap(one)(ms)
         return ms
 
     ms = run(stacked)

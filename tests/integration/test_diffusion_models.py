@@ -219,3 +219,55 @@ def test_cvi_dp_mlp_drift(key):
     leaves = jax.tree_util.tree_leaves(g_kl)
     assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
     assert any(float(jnp.max(jnp.abs(l))) > 0 for l in leaves)
+
+
+def test_vdp_lagrange_parallel_matches_sequential(key):
+    """The parallel affine-scan Lagrange backward pass (vdp.py
+    update_lagrange) must equal the reference's sequential recursion
+    (vi_sde.py:337-347) exactly (f64)."""
+    from jax import lax
+
+    sde = DoubleWellSDE(q_mat=jnp.asarray([[0.8]]))
+    grid = jnp.linspace(0.0, 2.0, 97)
+    path = euler_maruyama(sde, jnp.asarray([0.5]), grid, key)
+    obs_idx = np.arange(4, 95, 7)
+    obs_y = path[obs_idx] + 0.2 * jax.random.normal(
+        jax.random.fold_in(key, 3), (len(obs_idx), 1)
+    )
+    vdp = VariationalMarkovGP.initialize(
+        (grid[obs_idx], obs_y), sde, grid, Gaussian(variance=jnp.asarray(NOISE))
+    )
+    # put the model in a non-trivial state
+    vdp = vdp.inference_step(1e-3)
+    m, s = vdp.forward_pass()
+    out = vdp.update_lagrange(m, s)
+
+    # sequential oracle (exact transliteration of the reference loop)
+    d_e_dm, d_e_ds = vdp._grad_e_sde(m, s)
+    d_obs_m, d_obs_s = vdp._jump_conditions(m, s)
+    d_e_dm, d_e_ds = vdp._stab(d_e_dm), vdp._stab(d_e_ds)
+    d_obs_m, d_obs_s = vdp._stab(d_obs_m), vdp._stab(d_obs_s)
+    dt = vdp.dt
+    d = vdp.state_dim
+    n_tr = vdp.A.shape[0]
+    psi_last = 1e-10 * jnp.eye(d, dtype=vdp.b.dtype)
+    lam_last = jnp.zeros((d,), vdp.b.dtype)
+
+    def step(carry, inputs):
+        psi_t, lam_t = carry
+        a_t, de_ds_t, de_dm_t, dobs_s_t, dobs_m_t = inputs
+        psi_prev = psi_t - dt * (2.0 * psi_t @ a_t - de_ds_t) - dobs_s_t
+        lam_prev = lam_t - dt * (jnp.einsum("ij,j->i", a_t, lam_t) - de_dm_t) - dobs_m_t
+        return (psi_prev, lam_prev), (psi_prev, lam_prev)
+
+    _, (psi_rest, lam_rest) = lax.scan(
+        step,
+        (psi_last, lam_last),
+        (vdp.A[1:], d_e_ds[1:], d_e_dm[1:], d_obs_s[1:n_tr], d_obs_m[1:n_tr]),
+        reverse=True,
+    )
+    ref_psi = jnp.concatenate([psi_rest, psi_last[None]], axis=0)
+    ref_lam = jnp.concatenate([lam_rest, lam_last[None]], axis=0)
+
+    np.testing.assert_allclose(out.psi_lagrange, ref_psi, rtol=1e-9, atol=1e-11)
+    np.testing.assert_allclose(out.lambda_lagrange, ref_lam, rtol=1e-9, atol=1e-11)

@@ -109,3 +109,93 @@ def test_riccati_dispatch_blocked_equals_global():
     np.testing.assert_allclose(
         _riccati_d_blocked(kd, b2), _riccati_d_global_scan(kd, b2), rtol=1e-11
     )
+
+
+@pytest.mark.parametrize("n", [4099, 5003])
+def test_matrix_channels_match_lax(n):
+    """Trailing-dim (matrix/vector) channels: the pskf filter compose on
+    REAL filtering elements (random elements make the ``(I+CJ)⁻¹``
+    composition ill-conditioned, where float association order — not the
+    scan layout — dominates)."""
+    from vi_diffusion_processes_tpu.kernels import Matern32
+    from vi_diffusion_processes_tpu.parallel.pskf import (
+        _filter_compose,
+        _make_filter_elements,
+    )
+
+    rng = np.random.default_rng(5)
+    t = jnp.linspace(0.0, 40.0, n)
+    kern = Matern32(lengthscale=jnp.asarray(1.0), variance=jnp.asarray(1.0))
+    ssm = kern.state_space_model(t)
+    nat1 = jnp.asarray(rng.normal(size=(n, 2)) * 0.1)
+    prec = jnp.broadcast_to(0.3 * jnp.eye(2), (n, 2, 2))
+    elems = _make_filter_elements(ssm, nat1, prec)
+
+    ref = lax.associative_scan(_filter_compose, elems)
+    d = 2
+    eye = jnp.eye(d)
+    zd = jnp.zeros((d,))
+    zdd = jnp.zeros((d, d))
+    out = blocked_assoc_scan(
+        _filter_compose, elems, identity=(eye, zd, zdd, zd, zdd), num_blocks=64
+    )
+    for o, r in zip(out, ref):
+        np.testing.assert_allclose(o, r, rtol=1e-8, atol=1e-9)
+
+
+def test_smoother_compose_matrix_reverse_matches_lax():
+    """Reverse suffix scan with matrix channels: the RTS smoother compose
+    (inverse-free, stable for generic well-scaled elements)."""
+    from vi_diffusion_processes_tpu.parallel.pskf import _smoother_compose
+
+    n, d = 5003, 2
+    rng = np.random.default_rng(6)
+    e = jnp.asarray(rng.normal(size=(n, d, d)) * 0.08 + 0.5 * np.eye(d))
+    g = jnp.asarray(rng.normal(size=(n, d)) * 0.1)
+    # l must be symmetric (smoother covariances are; the compose
+    # symmetrizes, so a non-symmetric l differs at the raw last element)
+    s_half = rng.normal(size=(n, d, d)) * 0.2
+    l = jnp.asarray(np.einsum("nij,nkj->nik", s_half, s_half))
+    op = lambda a, b: _smoother_compose(a, b)
+    ref = lax.associative_scan(op, (e, g, l), reverse=True)
+    out = blocked_assoc_scan(
+        op,
+        (e, g, l),
+        identity=(jnp.eye(d), jnp.zeros((d,)), jnp.zeros((d, d))),
+        reverse=True,
+        num_blocks=64,
+    )
+    for o, r in zip(out, ref):
+        np.testing.assert_allclose(o, r, rtol=1e-9, atol=1e-11)
+
+
+def test_filter_smoother_blocked_matches_small_path():
+    """End-to-end: filter/smoother over a 5000-point grid (blocked path)
+    equals the same computation with the scan threshold disabled."""
+    from vi_diffusion_processes_tpu.kernels import Matern32
+    from vi_diffusion_processes_tpu.parallel.pskf import filter_smoother_with_sites
+
+    n = 5000
+    rng = np.random.default_rng(7)
+    t = jnp.linspace(0.0, 50.0, n)
+    kern = Matern32(lengthscale=jnp.asarray(1.0), variance=jnp.asarray(1.0))
+    ssm = kern.state_space_model(t)
+    nat1 = jnp.asarray(rng.normal(size=(n, 2)) * 0.1)
+    prec = jnp.broadcast_to(0.3 * jnp.eye(2), (n, 2, 2))
+
+    filt, smooth = filter_smoother_with_sites(ssm, nat1, prec)
+
+    import vi_diffusion_processes_tpu.ops.blocked_scan as bs
+    orig = bs.blocked_assoc_scan
+    try:
+        bs.blocked_assoc_scan = (
+            lambda fn, elems, identity, reverse=False, num_blocks=None:
+            lax.associative_scan(fn, tuple(elems), reverse=reverse)
+        )
+        filt_ref, smooth_ref = filter_smoother_with_sites(ssm, nat1, prec)
+    finally:
+        bs.blocked_assoc_scan = orig
+
+    np.testing.assert_allclose(smooth.means, smooth_ref.means, rtol=1e-9, atol=1e-10)
+    np.testing.assert_allclose(smooth.covs, smooth_ref.covs, rtol=1e-8, atol=1e-10)
+    np.testing.assert_allclose(filt.means, filt_ref.means, rtol=1e-9, atol=1e-10)

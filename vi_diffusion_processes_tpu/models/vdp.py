@@ -192,12 +192,21 @@ class VariationalMarkovGP:
 
     def update_lagrange(self, m, S) -> "VariationalMarkovGP":
         """Backward integration of the Lagrange ODEs with jump conditions
-        (vi_sde.py:289-375) — a reverse ``lax.scan`` instead of the
-        reference's eager Python loop:
+        (vi_sde.py:289-375):
 
             ``dψ/dt = 2ψA − dE_sde/dS``, ``dλ/dt = Aᵀλ − dE_sde/dm``,
             jumps ``−dE_obs/d·`` at observation points.
+
+        Both Euler-discretized recursions are AFFINE in the multiplier —
+        ``λ_{t−1} = (I − Δt·A_t)λ_t + (Δt·∂E/∂m − jump)`` and
+        ``ψ_{t−1} = ψ_t(I − 2Δt·A_t) + (Δt·∂E/∂S − jump)`` — so instead of
+        the reference's per-step eager Python loop (O(N) sequential depth,
+        vi_sde.py:337-347) they run as parallel associative affine scans
+        (ψ via the transpose, column-wise).
         """
+        from ..ops.btd import affine_scan
+        from ..utils.linalg import transpose_last
+
         d_e_dm, d_e_ds = self._grad_e_sde(m, S)
         d_obs_m, d_obs_s = self._jump_conditions(m, S)
         d_e_dm, d_e_ds = self._stab(d_e_dm), self._stab(d_e_ds)
@@ -206,28 +215,27 @@ class VariationalMarkovGP:
         dt = self.dt
         d = self.state_dim
         n_tr = self.A.shape[0]
+        eye = jnp.eye(d, dtype=self.b.dtype)
 
-        psi_last = 1e-10 * jnp.eye(d, dtype=self.b.dtype)
+        psi_last = 1e-10 * eye
         lam_last = jnp.zeros((d,), self.b.dtype)
 
-        def step(carry, inputs):
-            psi_t, lam_t = carry
-            a_t, de_ds_t, de_dm_t, dobs_s_t, dobs_m_t = inputs
-            d_psi = 2.0 * psi_t @ a_t - de_ds_t
-            d_lam = jnp.einsum("ij,j->i", a_t, lam_t) - de_dm_t
-            psi_prev = psi_t - dt * d_psi - dobs_s_t
-            lam_prev = lam_t - dt * d_lam - dobs_m_t
-            return (psi_prev, lam_prev), (psi_prev, lam_prev)
+        # λ: x_{t−1} = T_t x_t + c_t, T = I − Δt·A
+        t_lam = eye - dt * self.A[1:]
+        c_lam = dt * d_e_dm[1:] - d_obs_m[1:n_tr]
+        lam_rest = affine_scan(t_lam, c_lam, lam_last, reverse=True)
 
-        # iterate t = N-1 … 1, writing index t-1 (vi_sde.py:337-347)
-        inputs = (
-            self.A[1:],
-            d_e_ds[1:],
-            d_e_dm[1:],
-            d_obs_s[1:n_tr],
-            d_obs_m[1:n_tr],
-        )
-        _, (psi_rest, lam_rest) = lax.scan(step, (psi_last, lam_last), inputs, reverse=True)
+        # ψ (matrix state, right-multiplied): transpose to a left-affine
+        # recursion and scan each column of ψᵀ
+        t_psi = transpose_last(eye - 2.0 * dt * self.A[1:])
+        c_psi = transpose_last(dt * d_e_ds[1:] - d_obs_s[1:n_tr])  # [n−1, d, d]
+        psi_t_rest = jax.vmap(
+            lambda c_col, x0_col: affine_scan(t_psi, c_col, x0_col, reverse=True),
+            in_axes=(-1, -1),
+            out_axes=-1,
+        )(c_psi, psi_last.T)  # columns of ψᵀ → [n−1, d, d] (= ψᵀ stack)
+        psi_rest = transpose_last(psi_t_rest)
+
         new_psi = jnp.concatenate([psi_rest, psi_last[None]], axis=0)
         new_lam = jnp.concatenate([lam_rest, lam_last[None]], axis=0)
         return self.replace(psi_lagrange=new_psi, lambda_lagrange=new_lam)

@@ -71,52 +71,53 @@ def blocked_assoc_scan(
     l = -(-n // nb)
     pad = nb * l - n
 
-    ident = tuple(
-        jnp.broadcast_to(jnp.asarray(i, e.dtype), (pad,))
-        for i, e in zip(identity, elems)
-    )
+    rests = tuple(e.shape[1:] for e in elems)
+
+    def ident_block(i, e, rest, lead):
+        return jnp.broadcast_to(jnp.asarray(i, e.dtype), (lead,) + rest)
+
     cols = []
-    for e, ip in zip(elems, ident):
+    for e, i, rest in zip(elems, identity, rests):
         # identity padding at the tail is inert for forward prefixes and,
         # because fn(acc, identity) = acc, also for reverse suffixes
-        ep = jnp.concatenate([e, ip]) if pad else e
-        # window w = contiguous chunk [w*l, (w+1)*l); lay out as [l, nb] so
-        # each scan step combines one row (all windows in parallel)
-        cols.append(jnp.moveaxis(ep.reshape(nb, l), 0, -1))
+        ep = (
+            jnp.concatenate([e, ident_block(i, e, rest, pad)]) if pad else e
+        )
+        # window w = contiguous chunk [w*l, (w+1)*l); lay out as [l, nb, ...]
+        # so each scan step combines one row (all windows in parallel)
+        cols.append(jnp.moveaxis(ep.reshape((nb, l) + rest), 0, 1))
 
     ident_rows = tuple(
-        jnp.broadcast_to(jnp.asarray(i, e.dtype), (nb,))
-        for i, e in zip(identity, elems)
+        ident_block(i, e, rest, nb)
+        for i, e, rest in zip(identity, elems, rests)
     )
+
+    def step(carry, row):
+        new = _apply(fn, carry, row)
+        return new, new
 
     if reverse:
         # carry = suffix accumulated over LATER rows; fn(carry, row)
-        def step(carry, row):
-            new = _apply(fn, carry, row)
-            return new, new
-
         agg, within = lax.scan(step, ident_rows, tuple(cols), reverse=True)
         # exclusive suffix of the LATER windows (tiny: nb elements)
         incl = lax.associative_scan(lambda a, b: _apply(fn, a, b), agg, reverse=True)
-        after = tuple(
-            jnp.concatenate([a[1:], jnp.broadcast_to(jnp.asarray(iv, a.dtype), (1,))])
-            for iv, a in zip(identity, incl)
+        boundary = tuple(
+            jnp.concatenate([a[1:], ident_block(iv, a, rest, 1)])
+            for iv, a, rest in zip(identity, incl, rests)
         )
         # suffix over k..N = fn(later windows, within-window suffix)
-        out_rows = _apply(fn, tuple(a[None, :] for a in after), within)
     else:
-        def step(carry, row):
-            new = _apply(fn, carry, row)
-            return new, new
-
         agg, within = lax.scan(step, ident_rows, tuple(cols))
         # exclusive prefix of the EARLIER windows
         incl = lax.associative_scan(lambda a, b: _apply(fn, a, b), agg)
-        before = tuple(
-            jnp.concatenate([jnp.broadcast_to(jnp.asarray(iv, a.dtype), (1,)), a[:-1]])
-            for iv, a in zip(identity, incl)
+        boundary = tuple(
+            jnp.concatenate([ident_block(iv, a, rest, 1), a[:-1]])
+            for iv, a, rest in zip(identity, incl, rests)
         )
-        out_rows = _apply(fn, tuple(e[None, :] for e in before), within)
+    out_rows = _apply(fn, tuple(a[None] for a in boundary), within)
 
-    out = tuple(jnp.moveaxis(o, -1, 0).reshape(nb * l) for o in out_rows)
+    out = tuple(
+        jnp.moveaxis(o, 1, 0).reshape((nb * l,) + rest)
+        for o, rest in zip(out_rows, rests)
+    )
     return tuple(o[:n] for o in out)

@@ -544,7 +544,19 @@ def affine_scan(t_mats: jnp.ndarray, c_vecs: jnp.ndarray, x0: jnp.ndarray, *, re
         a2, b2 = e2
         return a2 @ a1, jnp.einsum("...ij,...j->...i", a2, b1) + b2
 
-    ca, cb = lax.associative_scan(compose, (t_t, c_t), reverse=reverse)
+    if t_t.shape[0] >= 4096:
+        from .blocked_scan import blocked_assoc_scan
+
+        dd = t_t.shape[-1]
+        eye = jnp.eye(dd, dtype=t_t.dtype)
+        ca, cb = blocked_assoc_scan(
+            compose,
+            (t_t, c_t),
+            identity=(eye, jnp.zeros((dd,), t_t.dtype)),
+            reverse=reverse,
+        )
+    else:
+        ca, cb = lax.associative_scan(compose, (t_t, c_t), reverse=reverse)
     xs = jnp.einsum("t...ij,...j->t...i", ca, x0) + cb
     return jnp.moveaxis(xs, 0, -2)
 

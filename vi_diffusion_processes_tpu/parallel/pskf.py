@@ -169,7 +169,22 @@ def parallel_filter(
 ) -> FilterResult:
     """Information-form Kalman filter over sites, parallel in time."""
     elems = _make_filter_elements(ssm, nat1, nat2_prec)
-    _, b_cum, c_cum, _, _ = lax.associative_scan(_filter_compose, elems)
+    n_el = elems[0].shape[0]
+    if n_el >= 4096:
+        # long grids: the blocked slice-free scan layout — the stride-2
+        # slice/pad tree of lax.associative_scan dominates both device
+        # time and (with gradients) TPU compile time (ops/blocked_scan.py)
+        from ..ops.blocked_scan import blocked_assoc_scan
+
+        d = ssm.state_dim
+        eye = jnp.eye(d, dtype=elems[0].dtype)
+        zd = jnp.zeros((d,), elems[0].dtype)
+        zdd = jnp.zeros((d, d), elems[0].dtype)
+        _, b_cum, c_cum, _, _ = blocked_assoc_scan(
+            _filter_compose, elems, identity=(eye, zd, zdd, zd, zdd)
+        )
+    else:
+        _, b_cum, c_cum, _, _ = lax.associative_scan(_filter_compose, elems)
     f_means = jnp.moveaxis(b_cum, 0, -2)
     f_covs = jnp.moveaxis(c_cum, 0, -3)
 
@@ -231,7 +246,18 @@ def parallel_smoother(ssm: StateSpaceModel, filt: FilterResult) -> SmootherResul
         # the already-combined later suffix, ``b`` the earlier element.
         return _smoother_compose(a, b)
 
-    _, g_cum, l_cum = lax.associative_scan(op, elems, reverse=True)
+    if elems[0].shape[0] >= 4096:
+        from ..ops.blocked_scan import blocked_assoc_scan
+
+        d = a_t.shape[-1]
+        eye = jnp.eye(d, dtype=elems[0].dtype)
+        zd = jnp.zeros((d,), elems[0].dtype)
+        zdd = jnp.zeros((d, d), elems[0].dtype)
+        _, g_cum, l_cum = blocked_assoc_scan(
+            op, elems, identity=(eye, zd, zdd), reverse=True
+        )
+    else:
+        _, g_cum, l_cum = lax.associative_scan(op, elems, reverse=True)
     return SmootherResult(
         means=jnp.moveaxis(g_cum, 0, -2),
         covs=jnp.moveaxis(l_cum, 0, -3),

@@ -148,6 +148,16 @@ class StateSpaceModel:
         a_t = jnp.moveaxis(self.state_transitions, -3, 0)
         b_t = jnp.moveaxis(self.state_offsets, -2, 0)
         q_t = jnp.moveaxis(self.process_covariances, -3, 0)
+        if a_t.shape[0] >= 4096:
+            from ..ops.blocked_scan import blocked_assoc_scan
+
+            d = a_t.shape[-1]
+            eye = jnp.eye(d, dtype=a_t.dtype)
+            return blocked_assoc_scan(
+                _affine_gaussian_compose,
+                (a_t, b_t, q_t),
+                identity=(eye, jnp.zeros((d,), a_t.dtype), jnp.zeros((d, d), a_t.dtype)),
+            )
         return lax.associative_scan(_affine_gaussian_compose, (a_t, b_t, q_t))
 
     def marginals(self) -> Tuple[jnp.ndarray, jnp.ndarray]:
