@@ -1,0 +1,114 @@
+"""Channelized (structure-of-scalars) pskf paths ≡ the generic array paths.
+
+The channel representation (ops/chmat.py + pskf `_parallel_filter_ch` /
+`_parallel_smoother_ch` / `site_log_normalizer_ch`) exists purely for TPU
+layout reasons (a [N,d,d] stack pads 256× and fragments fusions); the math
+must match the generic [N,d,d] implementations to f64 association-order
+noise.
+"""
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import vi_diffusion_processes_tpu.parallel.pskf as pskf
+from vi_diffusion_processes_tpu.kernels import Matern12, Matern32, Matern52
+
+
+@pytest.fixture
+def low_threshold(monkeypatch):
+    monkeypatch.setattr(pskf, "CH_THRESHOLD", 16)
+
+
+def _case(kern, n, seed):
+    rng = np.random.default_rng(seed)
+    t = jnp.linspace(0.0, 8.0, n)
+    ssm = kern.state_space_model(t)
+    d = ssm.state_dim
+    nat1 = jnp.asarray(rng.normal(size=(n, d)) * 0.2)
+    half = rng.normal(size=(n, d, d)) * 0.3
+    prec = jnp.asarray(np.einsum("nij,nkj->nik", half, half) + 0.1 * np.eye(d))
+    return ssm, nat1, prec
+
+
+KERNELS = [
+    Matern12(lengthscale=jnp.asarray(0.7), variance=jnp.asarray(1.2)),
+    Matern32(lengthscale=jnp.asarray(0.7), variance=jnp.asarray(1.2)),
+    Matern52(lengthscale=jnp.asarray(0.7), variance=jnp.asarray(1.2)),
+]
+
+
+@pytest.mark.parametrize("kern", KERNELS, ids=["d1", "d2", "d3"])
+def test_channel_filter_smoother_normalizer(low_threshold, kern):
+    n = 301
+    ssm, nat1, prec = _case(kern, n, 0)
+
+    filt_ch = pskf._parallel_filter_ch(ssm, nat1, prec)
+    elems = pskf._make_filter_elements(ssm, nat1, prec)
+    from jax import lax
+
+    _, b_cum, c_cum, _, _ = lax.associative_scan(pskf._filter_compose, elems)
+    f_means = jnp.moveaxis(b_cum, 0, -2)
+    f_covs = jnp.moveaxis(c_cum, 0, -3)
+
+    np.testing.assert_allclose(filt_ch.means, f_means, rtol=1e-9, atol=1e-11)
+    np.testing.assert_allclose(filt_ch.covs, f_covs, rtol=1e-8, atol=1e-11)
+
+    # generic filter dispatches through the channel path under the low
+    # threshold; compare against the generic smoother instead
+    smooth_ch = pskf._parallel_smoother_ch(ssm, filt_ch)
+
+    # generic smoother with the channel dispatch bypassed
+    import vi_diffusion_processes_tpu.parallel.pskf as mod
+
+    orig = mod.CH_THRESHOLD
+    mod.CH_THRESHOLD = 10**9
+    try:
+        smooth_ref = pskf.parallel_smoother(ssm, filt_ch)
+        logz_ref = pskf.site_log_normalizer(filt_ch, nat1, prec)
+    finally:
+        mod.CH_THRESHOLD = orig
+
+    np.testing.assert_allclose(smooth_ch.means, smooth_ref.means, rtol=1e-8, atol=1e-10)
+    np.testing.assert_allclose(smooth_ch.covs, smooth_ref.covs, rtol=1e-7, atol=1e-10)
+    np.testing.assert_allclose(smooth_ch.gains, smooth_ref.gains, rtol=1e-8, atol=1e-10)
+
+    logz_ch = pskf.site_log_normalizer_ch(filt_ch, nat1, prec)
+    np.testing.assert_allclose(logz_ch, logz_ref, rtol=1e-9)
+
+
+@pytest.mark.parametrize("kern", KERNELS, ids=["d1", "d2", "d3"])
+def test_dispatch_end_to_end_equivalence(kern):
+    """filter_smoother_with_sites through the dispatch (threshold crossed)
+    equals the generic path on the same inputs."""
+    n = 5000
+    ssm, nat1, prec = _case(kern, n, 1)
+
+    filt_ch, smooth_ch = pskf.filter_smoother_with_sites(ssm, nat1, prec)
+
+    orig = pskf.CH_THRESHOLD
+    pskf.CH_THRESHOLD = 10**9
+    try:
+        filt_ref, smooth_ref = pskf.filter_smoother_with_sites(ssm, nat1, prec)
+    finally:
+        pskf.CH_THRESHOLD = orig
+
+    np.testing.assert_allclose(filt_ch.means, filt_ref.means, rtol=1e-7, atol=1e-9)
+    np.testing.assert_allclose(smooth_ch.means, smooth_ref.means, rtol=1e-7, atol=1e-9)
+    np.testing.assert_allclose(smooth_ch.covs, smooth_ref.covs, rtol=1e-6, atol=1e-9)
+
+
+def test_chmat_roundtrip_and_inverse():
+    from vi_diffusion_processes_tpu.ops import chmat as cm
+
+    rng = np.random.default_rng(2)
+    for d in (1, 2, 3):
+        x = jnp.asarray(rng.normal(size=(17, d, d)))
+        np.testing.assert_array_equal(cm.ch_to_mat(cm.mat_to_ch(x)), x)
+        spd = jnp.asarray(
+            np.einsum("nij,nkj->nik", np.asarray(x), np.asarray(x)) + 0.5 * np.eye(d)
+        )
+        inv = cm.ch_to_mat(cm.minv(cm.mat_to_ch(spd)))
+        np.testing.assert_allclose(inv, np.linalg.inv(spd), rtol=1e-9, atol=1e-11)
+        np.testing.assert_allclose(
+            cm.det(cm.mat_to_ch(spd)), np.linalg.det(spd), rtol=1e-9
+        )

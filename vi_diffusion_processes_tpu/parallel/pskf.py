@@ -164,10 +164,168 @@ def _make_filter_elements(ssm: StateSpaceModel, nat1: jnp.ndarray, nat2_prec: jn
     )
 
 
+#: channelized (structure-of-scalars) fast path threshold — see chmat.py;
+#: tests lower this to exercise the channel path on small grids
+CH_THRESHOLD = 4096
+
+
+def _ch_eligible(ssm: StateSpaceModel, nat1: jnp.ndarray) -> bool:
+    """Unbatched, small-d, long-grid: the channelized path applies."""
+    return (
+        nat1.ndim == 2
+        and ssm.state_transitions.ndim == 3
+        and 1 <= ssm.state_dim <= 3
+        and nat1.shape[0] >= CH_THRESHOLD
+    )
+
+
+def _make_filter_elements_ch(ssm: StateSpaceModel, nat1, nat2_prec):
+    """Channelized `_make_filter_elements` (scalar [N] channels, chmat.py)."""
+    from ..ops import chmat as cm
+
+    d = ssm.state_dim
+    a = cm.mat_to_ch(ssm.state_transitions)  # [N] channels
+    b = cm.vec_to_ch(ssm.state_offsets)
+    q = cm.mat_to_ch(ssm.process_covariances)
+    th = cm.vec_to_ch(nat1)  # [N+1] channels
+    lm = cm.mat_to_ch(nat2_prec)
+
+    th0 = tuple(x[0] for x in th)
+    lm0 = tuple(tuple(x[0] for x in row) for row in lm)
+    th_r = tuple(x[1:] for x in th)
+    lm_r = tuple(tuple(x[1:] for x in row) for row in lm)
+
+    # element 0: site-updated prior (scalar channels, shape [])
+    p0 = cm.mat_to_ch(ssm.initial_covariance)
+    m0 = cm.vec_to_ch(ssm.initial_mean)
+    eye0 = cm.meye(d, m0[0])
+    ipl0 = cm.madd(eye0, cm.mm(p0, lm0))
+    c0 = cm.sym(cm.msolve(ipl0, p0))
+    b0 = cm.msolve_vec(ipl0, cm.vadd(m0, cm.mv(p0, th0)))
+    a0 = cm.mzeros(d, m0[0])
+    eta0 = cm.vzeros(d, m0[0])
+    j0 = cm.mzeros(d, m0[0])
+
+    # elements 1..N
+    eye = cm.meye(d, b[0])
+    iql = cm.madd(eye, cm.mm(q, lm_r))  # (I + QΛ)
+    iql_inv = cm.minv(iql)
+    a_star = cm.mm(iql_inv, a)
+    b_star = cm.mv(iql_inv, cm.vadd(b, cm.mv(q, th_r)))
+    c_star = cm.sym(cm.mm(iql_inv, q))
+    # (I+ΛQ)⁻¹ = (I+QΛ)⁻ᵀ
+    ilq_inv = cm.mt(iql_inv)
+    rhs = cm.vsub(th_r, cm.mv(lm_r, b))
+    eta_star = cm.mv(cm.mt(a), cm.mv(ilq_inv, rhs))
+    j_star = cm.sym(cm.mm(cm.mt(a), cm.mm(ilq_inv, cm.mm(lm_r, a))))
+
+    def cat_m(first, rest):
+        return tuple(
+            tuple(
+                jnp.concatenate([first[i][j][None], rest[i][j]])
+                for j in range(d)
+            )
+            for i in range(d)
+        )
+
+    def cat_v(first, rest):
+        return tuple(jnp.concatenate([first[i][None], rest[i]]) for i in range(d))
+
+    return (
+        cat_m(a0, a_star),
+        cat_v(b0, b_star),
+        cat_m(c0, c_star),
+        cat_v(eta0, eta_star),
+        cat_m(j0, j_star),
+    )
+
+
+def _elem_pack(a, b, c, eta, j):
+    from ..ops import chmat as cm
+
+    return cm.flatten_mat(a) + tuple(b) + cm.flatten_mat(c) + tuple(eta) + cm.flatten_mat(j)
+
+
+def _elem_unpack(flat, d):
+    from ..ops import chmat as cm
+
+    dd = d * d
+    a = cm.unflatten_mat(flat[:dd], d)
+    b = tuple(flat[dd : dd + d])
+    c = cm.unflatten_mat(flat[dd + d : 2 * dd + d], d)
+    eta = tuple(flat[2 * dd + d : 2 * dd + 2 * d])
+    j = cm.unflatten_mat(flat[2 * dd + 2 * d :], d)
+    return a, b, c, eta, j
+
+
+def _filter_compose_ch(d: int):
+    """Channelized Lemma-7 composition (mirrors `_filter_compose`)."""
+    from ..ops import chmat as cm
+
+    def fn(x, y):
+        a_i, b_i, c_i, eta_i, j_i = _elem_unpack(x, d)
+        a_j, b_j, c_j, eta_j, j_j = _elem_unpack(y, d)
+        eye = cm.meye(d, a_i[0][0])
+        g = cm.minv(cm.madd(eye, cm.mm(c_i, j_j)))
+        gt = cm.mt(g)
+        ajg = cm.mm(a_j, g)
+        a = cm.mm(ajg, a_i)
+        b = cm.vadd(cm.mv(ajg, cm.vadd(b_i, cm.mv(c_i, eta_j))), b_j)
+        c = cm.sym(cm.madd(cm.mm(ajg, cm.mm(c_i, cm.mt(a_j))), c_j))
+        ait_gt = cm.mm(cm.mt(a_i), gt)
+        eta = cm.vadd(cm.mv(ait_gt, cm.vsub(eta_j, cm.mv(j_j, b_i))), eta_i)
+        j = cm.sym(cm.madd(cm.mm(ait_gt, cm.mm(j_j, a_i)), j_i))
+        return _elem_pack(a, b, c, eta, j)
+
+    return fn
+
+
+def _parallel_filter_ch(ssm: StateSpaceModel, nat1, nat2_prec) -> FilterResult:
+    """Channelized parallel filter — everything on rank-1 [N] channels."""
+    from ..ops import chmat as cm
+    from ..ops.blocked_scan import blocked_assoc_scan
+
+    d = ssm.state_dim
+    a_e, b_e, c_e, eta_e, j_e = _make_filter_elements_ch(ssm, nat1, nat2_prec)
+    flat = _elem_pack(a_e, b_e, c_e, eta_e, j_e)
+    eye_flat = tuple(1.0 if i == j else 0.0 for i in range(d) for j in range(d))
+    ident = eye_flat + (0.0,) * d + (0.0,) * (d * d) + (0.0,) * d + (0.0,) * (d * d)
+    out = blocked_assoc_scan(_filter_compose_ch(d), flat, identity=ident)
+    _, b_cum, c_cum, _, _ = _elem_unpack(out, d)
+
+    f_means_ch = b_cum
+    f_covs_ch = c_cum
+    # one-step-ahead prediction from filtered (elementwise channels)
+    a = cm.mat_to_ch(ssm.state_transitions)
+    b = cm.vec_to_ch(ssm.state_offsets)
+    q = cm.mat_to_ch(ssm.process_covariances)
+    fm_prev = tuple(x[:-1] for x in f_means_ch)
+    fc_prev = tuple(tuple(x[:-1] for x in row) for row in f_covs_ch)
+    pm_rest = cm.vadd(cm.mv(a, fm_prev), b)
+    pc_rest = cm.madd(cm.mm(a, cm.mm(fc_prev, cm.mt(a))), q)
+    m0 = cm.vec_to_ch(ssm.initial_mean)
+    p0 = cm.mat_to_ch(ssm.initial_covariance)
+    pred_m = tuple(
+        jnp.concatenate([m0[i][None], pm_rest[i]]) for i in range(d)
+    )
+    pred_p = tuple(
+        tuple(jnp.concatenate([p0[i][j][None], pc_rest[i][j]]) for j in range(d))
+        for i in range(d)
+    )
+    return FilterResult(
+        means=cm.ch_to_vec(f_means_ch),
+        covs=cm.ch_to_mat(f_covs_ch),
+        pred_means=cm.ch_to_vec(pred_m),
+        pred_covs=cm.ch_to_mat(pred_p),
+    )
+
+
 def parallel_filter(
     ssm: StateSpaceModel, nat1: jnp.ndarray, nat2_prec: jnp.ndarray
 ) -> FilterResult:
     """Information-form Kalman filter over sites, parallel in time."""
+    if _ch_eligible(ssm, nat1):
+        return _parallel_filter_ch(ssm, nat1, nat2_prec)
     elems = _make_filter_elements(ssm, nat1, nat2_prec)
     n_el = elems[0].shape[0]
     if n_el >= 4096:
@@ -215,8 +373,113 @@ def _smoother_compose(e_j, e_i):
     return gain, g, symmetrize(l)
 
 
+def _smoother_compose_ch(d: int):
+    """Channelized RTS compose (mirrors `_smoother_compose`; args follow
+    the reverse-scan convention: first = later suffix, second = earlier)."""
+    from ..ops import chmat as cm
+
+    dd = d * d
+
+    def unpack(flat):
+        e = cm.unflatten_mat(flat[:dd], d)
+        g = tuple(flat[dd : dd + d])
+        l = cm.unflatten_mat(flat[dd + d :], d)
+        return e, g, l
+
+    def fn(x, y):
+        e_j, g_j, l_j = unpack(x)  # later suffix
+        e_i, g_i, l_i = unpack(y)  # earlier element
+        gain = cm.mm(e_i, e_j)
+        g = cm.vadd(cm.mv(e_i, g_j), g_i)
+        l = cm.sym(cm.madd(cm.mm(e_i, cm.mm(l_j, cm.mt(e_i))), l_i))
+        return cm.flatten_mat(gain) + tuple(g) + cm.flatten_mat(l)
+
+    return fn
+
+
+def _parallel_smoother_ch(ssm: StateSpaceModel, filt: FilterResult) -> SmootherResult:
+    """Channelized RTS smoother — rank-1 [N] channels throughout."""
+    from ..ops import chmat as cm
+    from ..ops.blocked_scan import blocked_assoc_scan
+
+    d = ssm.state_dim
+    a = cm.mat_to_ch(ssm.state_transitions)
+    b = cm.vec_to_ch(ssm.state_offsets)
+    fm = cm.vec_to_ch(filt.means)
+    fc = cm.mat_to_ch(filt.covs)
+    pc_next = cm.mat_to_ch(filt.pred_covs[..., 1:, :, :])
+
+    fm_k = tuple(x[:-1] for x in fm)
+    fc_k = tuple(tuple(x[:-1] for x in row) for row in fc)
+
+    # E_k = P_k|k A_kᵀ (P_{k+1}^-)⁻¹ = ((P⁻)⁻¹ A P_k|k)ᵀ
+    e_k = cm.mt(cm.msolve(pc_next, cm.mm(a, fc_k)))
+    g_k = cm.vsub(fm_k, cm.mv(e_k, cm.vadd(cm.mv(a, fm_k), b)))
+    l_k = cm.sym(cm.msub(fc_k, cm.mm(e_k, cm.mm(a, fc_k))))
+
+    def cat_m(rest, last):
+        return tuple(
+            tuple(jnp.concatenate([rest[i][j], last[i][j][None]]) for j in range(d))
+            for i in range(d)
+        )
+
+    def cat_v(rest, last):
+        return tuple(jnp.concatenate([rest[i], last[i][None]]) for i in range(d))
+
+    fm_last = tuple(x[-1] for x in fm)
+    fc_last = tuple(tuple(x[-1] for x in row) for row in fc)
+    e_all = cat_m(e_k, cm.mzeros(d, fm_last[0]))
+    g_all = cat_v(g_k, fm_last)
+    l_all = cat_m(l_k, fc_last)
+
+    flat = cm.flatten_mat(e_all) + tuple(g_all) + cm.flatten_mat(l_all)
+    eye_flat = tuple(1.0 if i == j else 0.0 for i in range(d) for j in range(d))
+    ident = eye_flat + (0.0,) * d + (0.0,) * (d * d)
+    out = blocked_assoc_scan(_smoother_compose_ch(d), flat, identity=ident, reverse=True)
+    dd = d * d
+    g_cum = tuple(out[dd : dd + d])
+    l_cum = cm.unflatten_mat(out[dd + d :], d)
+    return SmootherResult(
+        means=cm.ch_to_vec(g_cum),
+        covs=cm.ch_to_mat(l_cum),
+        gains=cm.ch_to_mat(e_k),
+    )
+
+
+def site_log_normalizer_ch(
+    filt: FilterResult, nat1: jnp.ndarray, nat2_prec: jnp.ndarray
+) -> jnp.ndarray:
+    """Channelized `site_log_normalizer` (same closed form, scalar channels;
+    the log-determinant uses the adjugate det — positive for PSD ``I+PΛ``)."""
+    from ..ops import chmat as cm
+
+    d = nat1.shape[-1]
+    p = cm.mat_to_ch(filt.pred_covs)
+    m = cm.vec_to_ch(filt.pred_means)
+    th = cm.vec_to_ch(nat1)
+    lm = cm.mat_to_ch(nat2_prec)
+    eye = cm.meye(d, m[0])
+    ipl = cm.madd(eye, cm.mm(p, lm))
+    ipl_inv = cm.minv(ipl)
+    logdet = jnp.log(cm.det(ipl))
+    m_prime = cm.mv(ipl_inv, m)
+    p_prime = cm.mm(ipl_inv, p)
+    term_quad_m = -0.5 * cm.quad_form(m, lm, m_prime)
+    term_cross = cm.vdot(th, m_prime)
+    term_quad_t = 0.5 * cm.quad_form(th, p_prime, th)
+    per_step = -0.5 * logdet + term_quad_m + term_cross + term_quad_t
+    return jnp.sum(per_step, axis=-1)
+
+
 def parallel_smoother(ssm: StateSpaceModel, filt: FilterResult) -> SmootherResult:
     """RTS smoother via reverse associative scan (S&GF 2020, §4)."""
+    if (
+        filt.means.ndim == 2
+        and ssm.state_transitions.ndim == 3
+        and 1 <= ssm.state_dim <= 3
+        and filt.means.shape[0] >= CH_THRESHOLD
+    ):
+        return _parallel_smoother_ch(ssm, filt)
     a_t = jnp.moveaxis(ssm.state_transitions, -3, 0)
     b_t = jnp.moveaxis(ssm.state_offsets, -2, 0)
     fm_t = jnp.moveaxis(filt.means, -2, 0)  # [N+1, ..., d]
@@ -290,6 +553,12 @@ def site_log_normalizer(
     ``−½ yᵀR⁻¹y − ½log|2πR|`` to recover ``log p(y)``
     (kalman_filter.py:184-255 equivalent).
     """
+    if (
+        nat1.ndim == 2
+        and 1 <= nat1.shape[-1] <= 3
+        and nat1.shape[0] >= CH_THRESHOLD
+    ):
+        return site_log_normalizer_ch(filt, nat1, nat2_prec)
     d = nat1.shape[-1]
     eye = jnp.eye(d, dtype=nat1.dtype)
     p = filt.pred_covs
