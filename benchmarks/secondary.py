@@ -142,8 +142,41 @@ def batched_cvi_dp():
     }
 
 
+def vdp_100k():
+    jax = _setup()
+    import jax.numpy as jnp
+
+    from vi_diffusion_processes_tpu.likelihoods.gaussian import Gaussian
+    from vi_diffusion_processes_tpu.models.vdp import VariationalMarkovGP
+    from vi_diffusion_processes_tpu.sde.zoo import DoubleWellSDE
+
+    n = 100_000
+    dtype = jnp.float32
+    sde = DoubleWellSDE(q_mat=jnp.asarray([[0.8]], dtype))
+    grid = jnp.linspace(0.0, 10.0, n, dtype=dtype)
+    rng = np.random.default_rng(0)
+    obs_idx = np.arange(50, n - 1, 500)
+    obs_y = jnp.asarray(
+        np.sign(np.sin(0.6 * np.asarray(grid[obs_idx])))[:, None]
+        + 0.2 * rng.normal(size=(len(obs_idx), 1)),
+        dtype,
+    )
+    vdp = VariationalMarkovGP.initialize(
+        (grid[obs_idx], obs_y), sde, grid, Gaussian(variance=jnp.asarray(0.04, dtype))
+    )
+
+    @jax.jit
+    def run(m):
+        return m.inference_step(1e-6)
+
+    m = run(vdp)
+    jax.block_until_ready(m.A)
+    dt = _time(run, m)
+    return {"metric": "vdp_inference_step_100k", "value": round(1 / dt, 2), "unit": "steps/sec"}
+
+
 ALL = {"gpr_100k": gpr_100k, "cvi_poisson_100k": cvi_poisson_100k,
-       "batched_cvi_dp": batched_cvi_dp}
+       "batched_cvi_dp": batched_cvi_dp, "vdp_100k": vdp_100k}
 
 
 if __name__ == "__main__":
