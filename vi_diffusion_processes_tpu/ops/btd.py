@@ -283,6 +283,108 @@ def btd_udu(k: BTD) -> Tuple[jnp.ndarray, jnp.ndarray]:
     return jnp.moveaxis(d_blocks, 0, -3), jnp.moveaxis(u_rest, 0, -3)
 
 
+def btd_udu_parallel_ch(k: BTD) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Parallel block UDU' for d ≤ 3 via Schur-segment (cyclic-reduction)
+    composition on scalar channels.
+
+    ``D_k = K_kk − b_kᵀ D_{k+1}⁻¹ b_k`` is the Schur complement of the
+    suffix ``K[k:, k:]`` onto ``x_k``.  A suffix segment ``[k..j]`` is
+    summarized by its boundary quadratic form ``(A, B, C)`` (contributions
+    to ``x_k²``, ``x_k·x_j`` and ``x_j²``, interior eliminated); adjacent
+    segments compose by eliminating the shared interface:
+
+        ``M = C_left + A_right`` (a PD cyclic-reduction pivot),
+        ``A' = A_l − B_l M⁻¹ B_lᵀ``, ``B' = −B_l M⁻¹ B_r``,
+        ``C' = C_r − B_rᵀ M⁻¹ B_r``.
+
+    This is associative AND numerically stable (all pivots PD — unlike the
+    naive 2d×2d transfer-matrix product, whose columns collapse onto the
+    dominant invariant subspace and cancel catastrophically).  An explicit
+    identity flag channel handles the scan's neutral element.  Replaces the
+    O(N)-sequential ``lax.scan`` for the d = 2/3 CVI hot loop
+    (ssm_gaussian_transformations.py:333-512).
+    """
+    from . import chmat as cm
+    from .blocked_scan import blocked_assoc_scan
+
+    kd = k.diag  # [N, d, d]
+    ks = k.sub  # [N-1, d, d]; b_k = K[k+1,k]
+    d = kd.shape[-1]
+    dd = d * d
+
+    # base element k = segment [k, k+1]: A=0, B=K[k,k+1]=b_kᵀ, C=K_{k+1,k+1}
+    b_ch = cm.mat_to_ch(ks)
+    a0 = cm.mzeros(d, b_ch[0][0])
+    b0 = cm.mt(b_ch)
+    c0 = cm.mat_to_ch(kd[1:])
+    zero = jnp.zeros_like(b_ch[0][0])
+    flat = cm.flatten_mat(a0) + cm.flatten_mat(b0) + cm.flatten_mat(c0) + (zero,)
+
+    def unpack(f):
+        return (
+            cm.unflatten_mat(f[:dd], d),
+            cm.unflatten_mat(f[dd : 2 * dd], d),
+            cm.unflatten_mat(f[2 * dd : 3 * dd], d),
+            f[3 * dd],
+        )
+
+    def compose(x, y):
+        # suffix convention: x = later segment, y = earlier segment
+        a_r, b_r, c_r, id_r = unpack(x)
+        a_l, b_l, c_l, id_l = unpack(y)
+        m_inv = cm.minv(cm.madd(c_l, a_r))
+        a_new = cm.msub(a_l, cm.mm(b_l, cm.mm(m_inv, cm.mt(b_l))))
+        b_new = cm.mscale(cm.mm(b_l, cm.mm(m_inv, b_r)), -1.0)
+        c_new = cm.msub(c_r, cm.mm(cm.mt(b_r), cm.mm(m_inv, b_r)))
+
+        def sel(id_other, real, fallback):
+            return jnp.where(id_other > 0.5, fallback, real)
+
+        # identity handling: if y (earlier) is identity → x; if x → y
+        out_a = tuple(
+            tuple(
+                sel(id_l, sel(id_r, a_new[i][j], a_l[i][j]), a_r[i][j])
+                for j in range(d)
+            )
+            for i in range(d)
+        )
+        out_b = tuple(
+            tuple(
+                sel(id_l, sel(id_r, b_new[i][j], b_l[i][j]), b_r[i][j])
+                for j in range(d)
+            )
+            for i in range(d)
+        )
+        out_c = tuple(
+            tuple(
+                sel(id_l, sel(id_r, c_new[i][j], c_l[i][j]), c_r[i][j])
+                for j in range(d)
+            )
+            for i in range(d)
+        )
+        out_id = id_l * id_r
+        return (
+            cm.flatten_mat(out_a)
+            + cm.flatten_mat(out_b)
+            + cm.flatten_mat(out_c)
+            + (out_id,)
+        )
+
+    ident = (0.0,) * (3 * dd) + (1.0,)
+    out = blocked_assoc_scan(compose, flat, identity=ident, reverse=True)
+    a_s, b_s, c_s, _ = unpack(out)
+
+    # D_k = K_kk + A_k − B_k C_k⁻¹ B_kᵀ for k < N-1;  D_{N-1} = K_{N-1,N-1}
+    kd_head = cm.mat_to_ch(kd[:-1])
+    corr = cm.mm(b_s, cm.mm(cm.minv(c_s), cm.mt(b_s)))
+    d_head = cm.sym(cm.msub(cm.madd(kd_head, a_s), corr))
+    d_blocks = jnp.concatenate([cm.ch_to_mat(d_head), kd[-1:]], axis=0)
+
+    d_next = cm.mat_to_ch(d_blocks[1:])
+    u_super = cm.mm(cm.mt(b_ch), cm.minv(d_next))  # U_k = b_kᵀ D_{k+1}⁻¹
+    return d_blocks, cm.ch_to_mat(u_super)
+
+
 def _mobius_compose(a, b):
     """Compose two 4-channel 2×2 Möbius maps: ``b`` (earlier) applied on top
     of the suffix ``a`` (later), normalized for overflow safety.

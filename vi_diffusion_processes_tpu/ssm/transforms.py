@@ -142,13 +142,22 @@ def naturals_to_ssm_params(theta_linear, theta_diag, theta_sub):
     then the means solve ``K μ = θ`` (two bidiagonal substitutions through
     the same factor) and ``b_k = μ_{k+1} − A_k μ_k``.
     """
-    from ..ops.btd import affine_scan, btd_udu_parallel_1d
+    from ..ops.btd import affine_scan, btd_udu_parallel_1d, btd_udu_parallel_ch
 
     prec = BTD(diag=-2.0 * theta_diag, sub=-theta_sub)
     d = theta_linear.shape[-1]
     if d == 1:
         # O(log N)-depth Möbius-scan fast path for the CVI hot loop
         d_blocks, u_super = btd_udu_parallel_1d(prec)
+    elif (
+        d <= 3
+        and theta_diag.ndim == 3
+        and theta_diag.dtype == jnp.float64
+        and theta_diag.shape[0] >= 4096
+    ):
+        # d=2/3 long grids: channelized matrix-LFT scan (needs invertible
+        # sub-blocks — true for SpInGP precisions; exact in f64)
+        d_blocks, u_super = btd_udu_parallel_ch(prec)
     else:
         d_blocks, u_super = btd_udu(prec)
     a_s = -transpose_last(u_super)
