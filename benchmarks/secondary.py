@@ -175,8 +175,64 @@ def vdp_100k():
     return {"metric": "vdp_inference_step_100k", "value": round(1 / dt, 2), "unit": "steps/sec"}
 
 
+def vanderpol_cvi_dp_100k():
+    jax = _setup()
+    import jax.numpy as jnp
+
+    from vi_diffusion_processes_tpu.likelihoods.gaussian import Gaussian
+    from vi_diffusion_processes_tpu.models.cvi_dp import CVISitesSDE
+    from vi_diffusion_processes_tpu.models.cvi_dp_packed_ch import (
+        pack_state_ch,
+        packed_natgrad_step_ch,
+    )
+    from vi_diffusion_processes_tpu.sde.utils import Gaussian as GaussianState
+    from vi_diffusion_processes_tpu.sde.zoo import VanderPolOscillatorSDE
+
+    n = 100_000
+    dtype = jnp.float32
+    sde = VanderPolOscillatorSDE(
+        a=jnp.asarray(1.0, dtype), tau=jnp.asarray(1.0, dtype),
+        q_mat=0.5 * jnp.eye(2, dtype=dtype),
+    )
+    grid = jnp.linspace(0.0, 10.0, n, dtype=dtype)
+    rng = np.random.default_rng(0)
+    obs_idx = np.arange(50, n - 1, 500)
+    obs_y = jnp.asarray(
+        np.stack(
+            [np.sin(0.6 * np.asarray(grid[obs_idx])),
+             np.cos(0.6 * np.asarray(grid[obs_idx]))], -1)
+        + 0.2 * rng.normal(size=(len(obs_idx), 2)),
+        dtype,
+    )
+    model = CVISitesSDE.initialize(
+        prior_ssm=None, time_grid=grid, input_data=(grid[obs_idx], obs_y),
+        likelihood=Gaussian(variance=jnp.asarray(0.04, dtype)),
+        prior_initial_state=GaussianState(
+            mu=jnp.zeros((2,), dtype), cov=0.5 * jnp.eye(2, dtype=dtype)
+        ),
+        prior_sde=sde, stabilize_ssm=True, clip_state_transitions=(-2.0, 2.0),
+    )
+    model = jax.jit(lambda m: m.set_linearized_prior())(model)
+    state = jax.jit(pack_state_ch)(model)
+
+    @jax.jit
+    def run(st):
+        st2, _ = packed_natgrad_step_ch(model, st, 0.2)
+        return st2
+
+    st = run(state)
+    jax.block_until_ready(st.obs_mask)
+    dt = _time(run, st)
+    return {
+        "metric": "vanderpol_d2_cvi_dp_step_100k",
+        "value": round(1 / dt, 2),
+        "unit": "steps/sec",
+    }
+
+
 ALL = {"gpr_100k": gpr_100k, "cvi_poisson_100k": cvi_poisson_100k,
-       "batched_cvi_dp": batched_cvi_dp, "vdp_100k": vdp_100k}
+       "batched_cvi_dp": batched_cvi_dp, "vdp_100k": vdp_100k,
+       "vanderpol_cvi_dp_100k": vanderpol_cvi_dp_100k}
 
 
 if __name__ == "__main__":

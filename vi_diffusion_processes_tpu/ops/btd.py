@@ -305,18 +305,29 @@ def btd_udu_parallel_ch(k: BTD) -> Tuple[jnp.ndarray, jnp.ndarray]:
     (ssm_gaussian_transformations.py:333-512).
     """
     from . import chmat as cm
+
+    kd_ch = cm.mat_to_ch(k.diag)  # [N] channels
+    b_ch = cm.mat_to_ch(k.sub)  # [N-1]; b_k = K[k+1,k]
+    d_ch, u_ch = udu_channels(kd_ch, b_ch)
+    return cm.ch_to_mat(d_ch), cm.ch_to_mat(u_ch)
+
+
+def udu_channels(kd_ch, b_ch):
+    """Channel-level Schur-segment UDU' (see :func:`btd_udu_parallel_ch`).
+
+    ``kd_ch``: d×d channel matrix of ``[N]`` arrays; ``b_ch``: same over
+    ``[N-1]``.  Returns ``(d_blocks_ch [N], u_super_ch [N-1])`` channels.
+    """
+    from . import chmat as cm
     from .blocked_scan import blocked_assoc_scan
 
-    kd = k.diag  # [N, d, d]
-    ks = k.sub  # [N-1, d, d]; b_k = K[k+1,k]
-    d = kd.shape[-1]
+    d = len(kd_ch)
     dd = d * d
 
     # base element k = segment [k, k+1]: A=0, B=K[k,k+1]=b_kᵀ, C=K_{k+1,k+1}
-    b_ch = cm.mat_to_ch(ks)
     a0 = cm.mzeros(d, b_ch[0][0])
     b0 = cm.mt(b_ch)
-    c0 = cm.mat_to_ch(kd[1:])
+    c0 = tuple(tuple(kd_ch[i][j][1:] for j in range(d)) for i in range(d))
     zero = jnp.zeros_like(b_ch[0][0])
     flat = cm.flatten_mat(a0) + cm.flatten_mat(b0) + cm.flatten_mat(c0) + (zero,)
 
@@ -375,14 +386,21 @@ def btd_udu_parallel_ch(k: BTD) -> Tuple[jnp.ndarray, jnp.ndarray]:
     a_s, b_s, c_s, _ = unpack(out)
 
     # D_k = K_kk + A_k − B_k C_k⁻¹ B_kᵀ for k < N-1;  D_{N-1} = K_{N-1,N-1}
-    kd_head = cm.mat_to_ch(kd[:-1])
+    kd_head = tuple(tuple(kd_ch[i][j][:-1] for j in range(d)) for i in range(d))
     corr = cm.mm(b_s, cm.mm(cm.minv(c_s), cm.mt(b_s)))
     d_head = cm.sym(cm.msub(cm.madd(kd_head, a_s), corr))
-    d_blocks = jnp.concatenate([cm.ch_to_mat(d_head), kd[-1:]], axis=0)
-
-    d_next = cm.mat_to_ch(d_blocks[1:])
-    u_super = cm.mm(cm.mt(b_ch), cm.minv(d_next))  # U_k = b_kᵀ D_{k+1}⁻¹
-    return d_blocks, cm.ch_to_mat(u_super)
+    d_blocks_ch = tuple(
+        tuple(
+            jnp.concatenate([d_head[i][j], kd_ch[i][j][-1:]])
+            for j in range(d)
+        )
+        for i in range(d)
+    )
+    d_next = tuple(
+        tuple(x[1:] for x in row) for row in d_blocks_ch
+    )
+    u_super_ch = cm.mm(cm.mt(b_ch), cm.minv(d_next))  # U_k = b_kᵀ D_{k+1}⁻¹
+    return d_blocks_ch, u_super_ch
 
 
 def _mobius_compose(a, b):

@@ -200,6 +200,49 @@ def vzeros(d: int, like: jnp.ndarray) -> Vec:
     return tuple(zero for _ in range(d))
 
 
+def mchol(a: Mat) -> Mat:
+    """Closed-form lower Cholesky of a PD channel matrix, d ≤ 3."""
+    d = _dim(a)
+    if d == 1:
+        return ((jnp.sqrt(a[0][0]),),)
+    if d == 2:
+        l00 = jnp.sqrt(a[0][0])
+        l10 = a[1][0] / l00
+        l11 = jnp.sqrt(a[1][1] - l10 * l10)
+        zero = jnp.zeros_like(l00)
+        return ((l00, zero), (l10, l11))
+    if d == 3:
+        l00 = jnp.sqrt(a[0][0])
+        l10 = a[1][0] / l00
+        l20 = a[2][0] / l00
+        l11 = jnp.sqrt(a[1][1] - l10 * l10)
+        l21 = (a[2][1] - l20 * l10) / l11
+        l22 = jnp.sqrt(a[2][2] - l20 * l20 - l21 * l21)
+        zero = jnp.zeros_like(l00)
+        return ((l00, zero, zero), (l10, l11, zero), (l20, l21, l22))
+    raise NotImplementedError("channelized cholesky only for d <= 3")
+
+
+def logdet_pd(a: Mat):
+    """``log|A|`` for PD channel matrices (via the closed-form det)."""
+    return jnp.log(det(a))
+
+
+def madd_scalar_diag(a: Mat, s) -> Mat:
+    """``A + s·I``."""
+    d = _dim(a)
+    return tuple(
+        tuple(a[i][j] + s if i == j else a[i][j] for j in range(d))
+        for i in range(d)
+    )
+
+
+def trace_prod(a: Mat, b: Mat):
+    """``tr(A B)``."""
+    d = _dim(a)
+    return sum(a[i][k] * b[k][i] for i in range(d) for k in range(d))
+
+
 def flatten_mat(m: Mat) -> Tuple[jnp.ndarray, ...]:
     return tuple(x for row in m for x in row)
 

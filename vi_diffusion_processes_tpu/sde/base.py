@@ -36,6 +36,17 @@ class SDE:
         """``f(x, t)``: ``[..., d] → [..., d]``."""
         raise NotImplementedError
 
+    def drift_ch(self, xs, t=None):
+        """Channelized drift: tuple of ``d`` arrays ``[...]`` → tuple.
+
+        Used by the structure-of-scalars hot loops (models/cvi_dp_packed*)
+        so drift evaluation fuses without materializing tile-padded
+        ``[..., d]`` stacks.  Default falls back to stacking; elementwise
+        SDEs override with their scalar formulas."""
+        x = jnp.stack(xs, axis=-1)
+        f = self.drift(x, t)
+        return tuple(f[..., i] for i in range(len(xs)))
+
     def diffusion(self, x: jnp.ndarray, t=None) -> jnp.ndarray:
         """``L(x, t)`` (Cholesky of the diffusion covariance):
         ``[..., d] → [..., d, d]``."""

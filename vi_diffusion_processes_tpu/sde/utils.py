@@ -190,6 +190,21 @@ def ssm_to_btd_nat(ssm: StateSpaceModel) -> BTDNaturals:
     return BTDNaturals(nat1=nat1, nat2_diag=nat_diag, nat2_sub=nat_sub)
 
 
+def _sym_exp_grads(grads):
+    """Project the ``η_diag`` gradient onto the symmetric subspace.
+
+    ``η_diag`` parametrizes the quadratic form ``E[xxᵀ]`` — a symmetric
+    matrix — but reverse-mode through Cholesky-based consumers splits the
+    gradient arbitrarily between ``(i,j)`` and ``(j,i)``.  Downstream, the
+    site update adds this gradient into ``Θ_diag``; an asymmetric split
+    would make different (mathematically equivalent) implementations
+    diverge.  Symmetrizing keeps the sites in the symmetric subspace where
+    every consumer agrees (the reference stores one triangle of the band,
+    block_tri_diag.py:91-98, which enforces the same invariant)."""
+    g1, g2, g3 = grads
+    return g1, 0.5 * (g2 + transpose_last(g2)), g3
+
+
 def _kl_of_exp_params(exp_params, func_p_builder, p_process_covar, p_initial: Gaussian):
     """Shared body: KL(q‖p) as a function of q's expectation parameters."""
     exp1, exp_diag, exp_sub = exp_params
@@ -233,7 +248,7 @@ def ssm_kl_with_grads_wrt_exp_params(
     p_init = Gaussian(mu=ssm_p.initial_mean, cov=ssm_p.initial_covariance)
     kl_fn = lambda e1, e2, e3: _kl_of_exp_params((e1, e2, e3), func_p, p_cov, p_init)
     kl_val, grads = jax.value_and_grad(kl_fn, argnums=(0, 1, 2))(*exps)
-    return kl_val, grads
+    return kl_val, _sym_exp_grads(grads)
 
 
 def sde_ssm_kl_with_grads_wrt_exp_params(
@@ -259,7 +274,7 @@ def sde_ssm_kl_with_grads_wrt_exp_params(
         (e1, e2, e3), func_p, p_cov, prior_initial_state
     )
     kl_val, grads = jax.value_and_grad(kl_fn, argnums=(0, 1, 2))(*exps)
-    return kl_val, grads
+    return kl_val, _sym_exp_grads(grads)
 
 
 def transform_girsanov_sites(

@@ -25,6 +25,14 @@ __all__ = [
 ]
 
 
+class _ScalarDriftMixin:
+    """d = 1 SDEs with elementwise drift formulas: the channelized drift is
+    the same formula applied to the single channel."""
+
+    def drift_ch(self, xs, t=None):
+        return (self.drift(xs[0], t),)
+
+
 class _ConstantDiffusionSDE(SDE):
     """Shared diffusion plumbing: constant covariance field ``q_diag``."""
 
@@ -38,7 +46,7 @@ class _ConstantDiffusionSDE(SDE):
 
 
 @struct.dataclass
-class OrnsteinUhlenbeckSDE(_ConstantDiffusionSDE):
+class OrnsteinUhlenbeckSDE(_ScalarDriftMixin, _ConstantDiffusionSDE):
     """``dx = −λ x dt + dB``, ``Σ = q`` (sde.py:134)."""
 
     decay: jnp.ndarray
@@ -49,7 +57,7 @@ class OrnsteinUhlenbeckSDE(_ConstantDiffusionSDE):
 
 
 @struct.dataclass
-class DoubleWellSDE(_ConstantDiffusionSDE):
+class DoubleWellSDE(_ScalarDriftMixin, _ConstantDiffusionSDE):
     """``f(x) = scale·x·(c − x²)`` (sde.py:179)."""
 
     q_mat: jnp.ndarray
@@ -61,7 +69,7 @@ class DoubleWellSDE(_ConstantDiffusionSDE):
 
 
 @struct.dataclass
-class BenesSDE(_ConstantDiffusionSDE):
+class BenesSDE(_ScalarDriftMixin, _ConstantDiffusionSDE):
     """``f(x) = θ·tanh(x)`` (sde.py:227)."""
 
     theta: jnp.ndarray
@@ -72,7 +80,7 @@ class BenesSDE(_ConstantDiffusionSDE):
 
 
 @struct.dataclass
-class SineDiffusionSDE(_ConstantDiffusionSDE):
+class SineDiffusionSDE(_ScalarDriftMixin, _ConstantDiffusionSDE):
     """``f(x) = sin(x − θ)`` (sde.py:271)."""
 
     theta: jnp.ndarray
@@ -83,7 +91,7 @@ class SineDiffusionSDE(_ConstantDiffusionSDE):
 
 
 @struct.dataclass
-class SqrtDiffusionSDE(_ConstantDiffusionSDE):
+class SqrtDiffusionSDE(_ScalarDriftMixin, _ConstantDiffusionSDE):
     """``f(x) = √(θ|x|)`` (sde.py:315)."""
 
     theta: jnp.ndarray
@@ -142,3 +150,10 @@ class VanderPolOscillatorSDE(_ConstantDiffusionSDE):
         dx1 = self.a * (x[..., 0] - x[..., 0] ** 3 / 3.0 - x[..., 1])
         dx2 = x[..., 0] / self.a
         return self.tau * jnp.stack([dx1, dx2], axis=-1)
+
+    def drift_ch(self, xs, t=None):
+        x1, x2 = xs
+        return (
+            self.tau * self.a * (x1 - x1**3 / 3.0 - x2),
+            self.tau * x1 / self.a,
+        )
