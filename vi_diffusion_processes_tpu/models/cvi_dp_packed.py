@@ -228,6 +228,40 @@ def _quad_grid_1d(dtype, n_points: int = 20):
     return z[:, 0], w
 
 
+def packed_elbo(model: CVISitesSDE, state: PackedCVIState) -> jnp.ndarray:
+    """``classic_elbo()`` of the current packed state (no updates)."""
+    dtype = model.time_grid.dtype
+    t = state.g_nat1.shape[0]
+    dt = model.dt
+    quad_z, quad_w = _quad_grid_1d(dtype)
+    q_scalar = jnp.reshape(model.prior_sde.q, ()).astype(dtype)
+    p_mu0 = model.prior_initial_state.mu[0].astype(dtype)
+    p_var0 = model.prior_initial_state.cov[0, 0].astype(dtype)
+
+    def drift_fn(x):
+        return model.prior_sde.drift(x[..., None])[..., 0]
+
+    ssm, means, varis = _dist_q_1d(state, dtype)
+    per_t = model.likelihood.variational_expectations(
+        means[:, None], varis[:, None], state.y_dense[:, None]
+    )
+    ve = jnp.sum(state.obs_mask * per_t)
+    a = ssm[0]
+    kl = _kl_packed(
+        means,
+        varis + means**2,
+        a * varis[:-1] + means[1:] * means[:-1],
+        drift_fn,
+        jnp.broadcast_to(dt * q_scalar, (t - 1,)),
+        p_mu0,
+        p_var0,
+        quad_z,
+        quad_w,
+        dt,
+    )
+    return ve - kl
+
+
 def packed_natgrad_step(
     model: CVISitesSDE, state: PackedCVIState, lr
 ) -> Tuple[PackedCVIState, jnp.ndarray]:

@@ -311,6 +311,58 @@ def _kl_packed_ch(
     return kl_path + kl_0
 
 
+def packed_elbo_ch(model: CVISitesSDE, state: PackedChState) -> jnp.ndarray:
+    """``classic_elbo()`` of the current channel state (no updates)."""
+    dtype = model.time_grid.dtype
+    d = model.state_dim
+    t = state.obs_mask.shape[0]
+    dt = model.dt
+    quad_z, quad_w = gauss_hermite_grid(d, 20, dtype)
+    sde = model.prior_sde
+    q_ch_const = cm.mat_to_ch(sde.q.astype(dtype))
+    p_mu0 = cm.vec_to_ch(model.prior_initial_state.mu.astype(dtype))
+    p_cov0 = cm.mat_to_ch(model.prior_initial_state.cov.astype(dtype))
+
+    (a_c, _), means_c, covs_c = _dist_q_ch(state, dtype)
+    mu = cm.ch_to_vec(means_c)
+    var = cm.ch_to_vec(tuple(covs_c[i][i] for i in range(d)))
+    per_t = model.likelihood.variational_expectations(mu, var, cm.ch_to_vec(state.y))
+    ve = jnp.sum(state.obs_mask * per_t)
+
+    var_kc = tuple(tuple(x[:-1] for x in row) for row in covs_c)
+    es_c = cm.madd(
+        cm.mm(a_c, var_kc),
+        tuple(
+            tuple(means_c[i][1:] * means_c[j][:-1] for j in range(d))
+            for i in range(d)
+        ),
+    )
+    p_var_elbo = tuple(
+        tuple(jnp.broadcast_to(dt * q_ch_const[i][j], (t - 1,)) for j in range(d))
+        for i in range(d)
+    )
+    kl = _kl_packed_ch(
+        means_c,
+        cm.madd(
+            covs_c,
+            tuple(
+                tuple(means_c[i] * means_c[j] for j in range(d))
+                for i in range(d)
+            ),
+        ),
+        es_c,
+        sde,
+        p_var_elbo,
+        p_mu0,
+        p_cov0,
+        quad_z,
+        quad_w,
+        dt,
+        d,
+    )
+    return ve - kl
+
+
 def packed_natgrad_step_ch(
     model: CVISitesSDE, state: PackedChState, lr
 ) -> Tuple[PackedChState, jnp.ndarray]:

@@ -39,6 +39,10 @@ class CVISitesTrainer:
     elbo_tol: float = 1e-4
     lr_decay: float = 0.5
     learn_prior_sde: bool = False
+    #: run the inner site loop on the structure-of-scalars packed state
+    #: (models/cvi_dp_packed*) — the TPU layout fast path.  Auto-disabled
+    #: when the model is not an SDE-CVI or d > 3.
+    use_packed: bool = True
     elbo_trace: List[float] = field(default_factory=list)
 
     def __post_init__(self):
@@ -46,6 +50,32 @@ class CVISitesTrainer:
             lambda m, lr: m.update_data_sites(lr).update_girsanov_sites(lr)
         )
         self._elbo = jax.jit(lambda m: m.classic_elbo())
+        self._packed = None
+        if (
+            self.use_packed
+            and isinstance(self.model, CVISitesSDE)
+            and self.model.state_dim <= 3
+        ):
+            if self.model.state_dim == 1:
+                from ..models.cvi_dp_packed import (
+                    pack_state,
+                    packed_elbo,
+                    packed_natgrad_step,
+                    unpack_state,
+                )
+
+                self._packed = (pack_state, unpack_state,
+                                jax.jit(packed_natgrad_step), jax.jit(packed_elbo))
+            else:
+                from ..models.cvi_dp_packed_ch import (
+                    pack_state_ch,
+                    packed_elbo_ch,
+                    packed_natgrad_step_ch,
+                    unpack_state_ch,
+                )
+
+                self._packed = (pack_state_ch, unpack_state_ch,
+                                jax.jit(packed_natgrad_step_ch), jax.jit(packed_elbo_ch))
         if self.learn_prior_sde:
             self._prior_opt = optax.adam(self.prior_sde_lr)
             self._prior_opt_state = self._prior_opt.init(self.model.prior_sde)
@@ -53,8 +83,29 @@ class CVISitesTrainer:
     # ------------------------------------------------------------- inner loop
     def optimize_sites(self) -> float:
         """Inner loop: site updates with lr decay on ELBO decrease
-        (cvi_dp_trainer.py:63-95)."""
+        (cvi_dp_trainer.py:63-95).  Runs on the packed state when
+        available (same updates, rank-1 buffers)."""
         lr = self.sites_lr
+        if self._packed is not None:
+            pack, unpack, pstep, pelbo = self._packed
+            state = pack(self.model)
+            prev = float(pelbo(self.model, state))
+            for _ in range(self.max_inner_iters):
+                cand, elbo_arr = pstep(self.model, state, lr)
+                elbo = float(elbo_arr)
+                if jnp.isnan(elbo) or elbo < prev - abs(prev) * 1e-6:
+                    lr *= self.lr_decay
+                    if lr < 1e-4:
+                        break
+                    continue
+                state = cand
+                self.elbo_trace.append(elbo)
+                if abs(elbo - prev) < self.elbo_tol:
+                    prev = elbo
+                    break
+                prev = elbo
+            self.model = unpack(self.model, state)
+            return prev
         prev = float(self._elbo(self.model))
         for _ in range(self.max_inner_iters):
             candidate = self._site_step(self.model, lr)
