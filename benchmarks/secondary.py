@@ -27,7 +27,9 @@ def _setup():
     import jax
 
     jax.config.update("jax_enable_x64", True)
-    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_tpu_cache")
+    cache = str(pathlib.Path(__file__).resolve().parents[1] / ".cache" / "jax_tpu")
+    pathlib.Path(cache).mkdir(parents=True, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache)
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
     return jax
@@ -230,9 +232,97 @@ def vanderpol_cvi_dp_100k():
     }
 
 
+def gpr_d4_sum_100k():
+    """d=4 GPR: Matern52+Matern12 kernel sum, N=100k — exercises the
+    PD-routed channelized filter/smoother past d=3 (sde_kernel.py:660
+    kernel-sum workloads)."""
+    jax = _setup()
+    import jax.numpy as jnp
+
+    from vi_diffusion_processes_tpu.kernels import Matern12, Matern52
+    from vi_diffusion_processes_tpu.models import GaussianProcessRegression
+
+    n = 100_000
+    rng = np.random.default_rng(0)
+    t = jnp.linspace(0.0, 100.0, n, dtype=jnp.float32)
+    y = jnp.asarray(
+        (np.sin(0.3 * np.asarray(t)) + 0.3 * rng.normal(size=n))[:, None], jnp.float32
+    )
+
+    def loss(params):
+        kern = Matern52(lengthscale=params["l5"], variance=params["v5"]) + Matern12(
+            lengthscale=params["l1"], variance=params["v1"]
+        )
+        model = GaussianProcessRegression(
+            kernel=kern, time_points=t, observations=y,
+            chol_obs_covariance=params["r"][None, None],
+        )
+        return -model.log_likelihood()
+
+    grad = jax.value_and_grad(loss)
+    params = {"l5": jnp.float32(1.0), "v5": jnp.float32(1.0),
+              "l1": jnp.float32(2.0), "v1": jnp.float32(0.5), "r": jnp.float32(0.3)}
+
+    @jax.jit
+    def run(p):
+        val, g = grad(p)
+        return jax.tree_util.tree_map(lambda x, gg: x - 1e-3 * gg, p, g)
+
+    p = run(params)
+    jax.block_until_ready(p["l5"])
+    dt = _time(run, p)
+    return {"metric": "gpr_d4_sum_loglik_grad_100k", "value": round(1 / dt, 2),
+            "unit": "steps/sec"}
+
+
+def spatio_temporal_cvi_10k():
+    """Spatio-temporal CVI: M=3 spatial inducing points × Matern32 time
+    (state_dim = 6), Mt=10k inducing time points, 20k observations —
+    exercises the d=6 channelized UDU' in naturals_to_ssm
+    (spatio_temporal_variational.py:360-553 workload)."""
+    jax = _setup()
+    import jax.numpy as jnp
+
+    from vi_diffusion_processes_tpu.kernels.matern import Matern32
+    from vi_diffusion_processes_tpu.kernels.spatial import SpatialRBF
+    from vi_diffusion_processes_tpu.likelihoods.gaussian import Gaussian
+    from vi_diffusion_processes_tpu.models.spatio_temporal import (
+        SpatioTemporalSparseCVI,
+    )
+
+    n, mt = 20_000, 10_000
+    rng = np.random.default_rng(0)
+    x_space = rng.uniform(0, 1, size=(n, 1))
+    t = np.sort(rng.uniform(0, 100.0, size=n))
+    y = jnp.asarray(
+        (np.sin(2 * t) * np.cos(3 * x_space[:, 0]) + 0.1 * rng.normal(size=n))[:, None]
+    )
+    inputs = jnp.asarray(np.concatenate([x_space, t[:, None]], axis=-1))
+    z_space = jnp.linspace(0.05, 0.95, 3)[:, None]
+    z_time = jnp.linspace(0.0, 100.0, mt)
+    model = SpatioTemporalSparseCVI.initialize(
+        z_space, z_time,
+        SpatialRBF(variance=jnp.asarray(1.0), lengthscale=jnp.asarray(0.5)),
+        Matern32(lengthscale=jnp.asarray(5.0), variance=jnp.asarray(1.0)),
+        Gaussian(variance=jnp.asarray(0.05)), learning_rate=0.5,
+    )
+
+    @jax.jit
+    def run(m):
+        return m.update_sites((inputs, y))
+
+    m = run(model)
+    jax.block_until_ready(m.nat1)
+    dt = _time(run, m, n=8)
+    return {"metric": "spatio_temporal_cvi_d6_site_step_10k",
+            "value": round(1 / dt, 2), "unit": "steps/sec"}
+
+
 ALL = {"gpr_100k": gpr_100k, "cvi_poisson_100k": cvi_poisson_100k,
        "batched_cvi_dp": batched_cvi_dp, "vdp_100k": vdp_100k,
-       "vanderpol_cvi_dp_100k": vanderpol_cvi_dp_100k}
+       "vanderpol_cvi_dp_100k": vanderpol_cvi_dp_100k,
+       "gpr_d4_sum_100k": gpr_d4_sum_100k,
+       "spatio_temporal_cvi_10k": spatio_temporal_cvi_10k}
 
 
 if __name__ == "__main__":

@@ -201,7 +201,7 @@ def test_filter_smoother_blocked_matches_small_path():
     np.testing.assert_allclose(filt.means, filt_ref.means, rtol=1e-9, atol=1e-10)
 
 
-@pytest.mark.parametrize("d", [2, 3])
+@pytest.mark.parametrize("d", [2, 3, 4, 5, 8])
 def test_btd_udu_parallel_ch_matches_sequential(d):
     """Matrix-LFT parallel UDU' ≡ the sequential block recursion (f64)."""
     from vi_diffusion_processes_tpu.ops.btd import BTD, btd_udu, btd_udu_parallel_ch

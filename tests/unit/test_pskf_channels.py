@@ -34,10 +34,17 @@ KERNELS = [
     Matern12(lengthscale=jnp.asarray(0.7), variance=jnp.asarray(1.2)),
     Matern32(lengthscale=jnp.asarray(0.7), variance=jnp.asarray(1.2)),
     Matern52(lengthscale=jnp.asarray(0.7), variance=jnp.asarray(1.2)),
+    # d ≥ 4: kernel sums — the PD-Cholesky-routed channel algebra
+    # (markovflow/kernels/sde_kernel.py:660 workloads)
+    Matern52(lengthscale=jnp.asarray(0.7), variance=jnp.asarray(1.2))
+    + Matern12(lengthscale=jnp.asarray(1.4), variance=jnp.asarray(0.5)),
+    Matern52(lengthscale=jnp.asarray(0.7), variance=jnp.asarray(1.2))
+    + Matern32(lengthscale=jnp.asarray(1.4), variance=jnp.asarray(0.5)),
 ]
+KERNEL_IDS = ["d1", "d2", "d3", "d4-sum", "d5-sum"]
 
 
-@pytest.mark.parametrize("kern", KERNELS, ids=["d1", "d2", "d3"])
+@pytest.mark.parametrize("kern", KERNELS, ids=KERNEL_IDS)
 def test_channel_filter_smoother_normalizer(low_threshold, kern):
     n = 301
     ssm, nat1, prec = _case(kern, n, 0)
@@ -76,7 +83,7 @@ def test_channel_filter_smoother_normalizer(low_threshold, kern):
     np.testing.assert_allclose(logz_ch, logz_ref, rtol=1e-9)
 
 
-@pytest.mark.parametrize("kern", KERNELS, ids=["d1", "d2", "d3"])
+@pytest.mark.parametrize("kern", KERNELS, ids=KERNEL_IDS)
 def test_dispatch_end_to_end_equivalence(kern):
     """filter_smoother_with_sites through the dispatch (threshold crossed)
     equals the generic path on the same inputs."""
@@ -112,3 +119,46 @@ def test_chmat_roundtrip_and_inverse():
         np.testing.assert_allclose(
             cm.det(cm.mat_to_ch(spd)), np.linalg.det(spd), rtol=1e-9
         )
+
+
+def test_chmat_pd_primitives_general_d():
+    """General-d PD primitives: mchol / minv_pd / inv_ipl / logdet_* vs dense
+    NumPy, and finite gradients through the guarded forms at Λ = 0."""
+    import jax
+    from vi_diffusion_processes_tpu.ops import chmat as cm
+
+    rng = np.random.default_rng(3)
+    for d in (1, 2, 3, 4, 5, 8):
+        x = rng.normal(size=(11, d, d))
+        spd = jnp.asarray(np.einsum("nij,nkj->nik", x, x) + 0.5 * np.eye(d))
+        a = cm.mat_to_ch(spd)
+
+        l = cm.ch_to_mat(cm.mchol(a))
+        np.testing.assert_allclose(l, np.linalg.cholesky(spd), rtol=1e-8, atol=1e-10)
+        np.testing.assert_allclose(
+            cm.ch_to_mat(cm.minv_pd(a)), np.linalg.inv(spd), rtol=1e-7, atol=1e-9
+        )
+        np.testing.assert_allclose(
+            cm.logdet_pd(a), np.linalg.slogdet(spd)[1], rtol=1e-9
+        )
+
+        y = rng.normal(size=(11, d, d)) * 0.4
+        lam_np = np.einsum("nij,nkj->nik", y, y)
+        lam = cm.mat_to_ch(jnp.asarray(lam_np))
+        ipl = np.eye(d) + np.asarray(spd) @ lam_np
+        np.testing.assert_allclose(
+            cm.ch_to_mat(cm.inv_ipl(a, lam)), np.linalg.inv(ipl), rtol=1e-7, atol=1e-9
+        )
+        np.testing.assert_allclose(
+            cm.logdet_ipl(a, lam), np.linalg.slogdet(ipl)[1], rtol=1e-8
+        )
+
+        # guarded forms: finite value + gradient at exactly-singular Λ = 0
+        def f(p_flat):
+            p_ch = cm.mat_to_ch(p_flat)
+            z = cm.mat_to_ch(jnp.zeros_like(p_flat))
+            out = cm.inv_ipl(p_ch, z)
+            return sum(jnp.sum(out[i][j]) for i in range(d) for j in range(d))
+
+        g = jax.grad(f)(spd[:2])
+        assert np.isfinite(np.asarray(g)).all()

@@ -1,7 +1,8 @@
-"""Channelized CVI-DP hot loop for ``d ≤ 3`` (structure-of-scalars).
+"""Channelized CVI-DP hot loop for ``2 ≤ d ≤ 8`` (structure-of-scalars).
 
-Generalizes :mod:`.cvi_dp_packed` (the d=1 rank-1 loop) to state dims 2–3
-using the chmat channel algebra (ops/chmat.py): every ``[T, d, d]`` stack
+Generalizes :mod:`.cvi_dp_packed` (the d=1 rank-1 loop) to small state dims
+using the chmat channel algebra (ops/chmat.py) — d ≤ 3 via adjugate
+inverses, 4 ≤ d ≤ 8 via the PD-routed Cholesky forms: every ``[T, d, d]`` stack
 is carried as ``d²`` rank-1 ``[T]`` channels, so nothing materializes in the
 TPU's 256×-padded tiny-matrix layout and the whole natgrad step fuses into
 a handful of kernels.  Without this, the generic d=2 VanderPol CVI-DP step
@@ -59,8 +60,8 @@ class PackedChState(struct.PyTreeNode):
 def pack_state_ch(model: CVISitesSDE) -> PackedChState:
     """Channelize a ``d ≤ 3`` model's mutable state."""
     d = model.state_dim
-    if d > 3:
-        raise ValueError("channelized CVI-DP fast path requires state_dim <= 3")
+    if d > 8:
+        raise ValueError("channelized CVI-DP fast path requires state_dim <= 8")
     t = model.time_grid.shape[0]
     dtype = model.time_grid.dtype
     obs_idx = model.obs_indices
@@ -208,7 +209,7 @@ def _dist_q_ch(state: PackedChState, compute_dtype):
     b_sub = cm.mscale(nat2s, -1.0)  # b_k = K[k+1,k]
     d_blocks, u_super = udu_channels(kd, b_sub)
     a = cm.mscale(cm.mt(u_super), -1.0)
-    covs = cm.minv(d_blocks)  # [P0, Q_1..Q_N] channels
+    covs = cm.minv_pd(d_blocks)  # [P0, Q_1..Q_N] channels (PD pivots)
 
     def tail(mat):
         return tuple(tuple(x[1:] for x in row) for row in mat)
@@ -262,11 +263,11 @@ def _kl_packed_ch(
         cm.mt(es),
         tuple(tuple(mu_k[i] * mu_next[j] for j in range(d)) for i in range(d)),
     )
-    a = cm.mt(cm.msolve(var_k, cov_up))
+    a = cm.mt(cm.msolve_pd(var_k, cov_up))
     b = cm.vsub(mu_next, cm.mv(a, mu_k))
     qv = cm.msub(var_next, cm.mm(a, cm.mm(var_k, cm.mt(a))))
 
-    p_inv = cm.minv(p_var_diag)
+    p_inv = cm.minv_pd(p_var_diag)
     c_term = (
         -(cm.logdet_pd(qv) - cm.logdet_pd(p_var_diag))
         - float(d)
@@ -299,7 +300,7 @@ def _kl_packed_ch(
     # KL₀ against the prior initial state (closed form, channels of scalars)
     var0 = tuple(tuple(x[0] for x in row) for row in var)
     mu0 = tuple(x[0] for x in mu)
-    p0_inv = cm.minv(p_cov0)
+    p0_inv = cm.minv_pd(p_cov0)
     diff0 = cm.vsub(p_mu0, mu0)
     kl_0 = 0.5 * (
         cm.trace_prod(p0_inv, var0)

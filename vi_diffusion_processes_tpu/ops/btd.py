@@ -343,7 +343,10 @@ def udu_channels(kd_ch, b_ch):
         # suffix convention: x = later segment, y = earlier segment
         a_r, b_r, c_r, id_r = unpack(x)
         a_l, b_l, c_l, id_l = unpack(y)
-        m_inv = cm.minv(cm.madd(c_l, a_r))
+        # C_l + A_r is a symmetric PD Schur pivot; d ≤ 3 keeps the adjugate
+        # closed form, d ≥ 4 routes through the guarded Cholesky inverse so
+        # identity-padding lanes (zero matrices) stay NaN-free under autodiff
+        m_inv = cm.minv_pd(cm.madd(c_l, a_r), guarded=d > 3)
         a_new = cm.msub(a_l, cm.mm(b_l, cm.mm(m_inv, cm.mt(b_l))))
         b_new = cm.mscale(cm.mm(b_l, cm.mm(m_inv, b_r)), -1.0)
         c_new = cm.msub(c_r, cm.mm(cm.mt(b_r), cm.mm(m_inv, b_r)))
@@ -387,7 +390,7 @@ def udu_channels(kd_ch, b_ch):
 
     # D_k = K_kk + A_k − B_k C_k⁻¹ B_kᵀ for k < N-1;  D_{N-1} = K_{N-1,N-1}
     kd_head = tuple(tuple(kd_ch[i][j][:-1] for j in range(d)) for i in range(d))
-    corr = cm.mm(b_s, cm.mm(cm.minv(c_s), cm.mt(b_s)))
+    corr = cm.mm(b_s, cm.mm(cm.minv_pd(c_s), cm.mt(b_s)))
     d_head = cm.sym(cm.msub(cm.madd(kd_head, a_s), corr))
     d_blocks_ch = tuple(
         tuple(
@@ -399,7 +402,7 @@ def udu_channels(kd_ch, b_ch):
     d_next = tuple(
         tuple(x[1:] for x in row) for row in d_blocks_ch
     )
-    u_super_ch = cm.mm(cm.mt(b_ch), cm.minv(d_next))  # U_k = b_kᵀ D_{k+1}⁻¹
+    u_super_ch = cm.mm(cm.mt(b_ch), cm.minv_pd(d_next))  # U_k = b_kᵀ D_{k+1}⁻¹
     return d_blocks_ch, u_super_ch
 
 

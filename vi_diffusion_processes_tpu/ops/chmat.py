@@ -10,9 +10,18 @@ breaks: a d=2 matmul is 8 elementwise multiplies XLA fuses freely.
 
 Representation: a matrix stack is a **tuple of tuples** (row-major)
 ``m[i][j] -> [..., N]``; a vector stack is a tuple ``v[i] -> [..., N]``.
-``d`` is static (unrolled Python loops); inversion is closed-form adjugate
-for d ≤ 3 — the library's SDE state dims (Matern12/32/52, harmonic, OU,
-VanDerPol) are 1–3.  Everything is autodiff-transparent.
+``d`` is static (unrolled Python loops).  General (non-symmetric) inversion
+is closed-form adjugate for d ≤ 3; **arbitrary d** is supported through the
+PD-routed primitives (:func:`mchol`/:func:`minv_pd`/:func:`msolve_pd`/
+:func:`logdet_pd` — unrolled Cholesky + triangular substitution) and the
+Woodbury pair :func:`inv_ipl`/:func:`logdet_ipl` for ``(I + P·Λ)⁻¹`` with
+PSD ``P, Λ`` — ``I + UᵀPU`` (``U = chol(Λ)``) is always symmetric PD, so no
+general-matrix inverse is ever needed on the hot paths (this covers kernel
+sums like Matern52+Matern12 (d = 4) and spatio-temporal state dims
+``M·d_t``, markovflow/models/spatio_temporal_variational.py:45-106).
+Everything is autodiff-transparent; the guarded variants avoid the
+NaN-through-``where`` gradient trap at exactly-singular inputs (sparse
+sites with ``Λ = 0``).
 """
 from __future__ import annotations
 
@@ -37,8 +46,17 @@ __all__ = [
     "sym",
     "det",
     "minv",
+    "minv_pd",
     "msolve",
     "msolve_vec",
+    "msolve_pd",
+    "msolve_pd_vec",
+    "mchol",
+    "mchol_psd",
+    "tri_inv_lower",
+    "inv_ipl",
+    "logdet_ipl",
+    "logdet_pd",
     "vdot",
     "quad_form",
     "meye",
@@ -146,7 +164,9 @@ def det(a: Mat):
             - a[0][1] * (a[1][0] * a[2][2] - a[1][2] * a[2][0])
             + a[0][2] * (a[1][0] * a[2][1] - a[1][1] * a[2][0])
         )
-    raise NotImplementedError("channelized det only for d <= 3")
+    raise NotImplementedError(
+        "channelized general det only for d <= 3 — use logdet_pd/logdet_ipl"
+    )
 
 
 def minv(a: Mat) -> Mat:
@@ -170,7 +190,10 @@ def minv(a: Mat) -> Mat:
                 minor = a[r[0]][s[0]] * a[r[1]][s[1]] - a[r[0]][s[1]] * a[r[1]][s[0]]
                 c[j][i] = ((-1) ** (i + j)) * minor * inv_dt  # adjugate transpose
         return tuple(tuple(row) for row in c)
-    raise NotImplementedError("channelized inverse only for d <= 3")
+    raise NotImplementedError(
+        "channelized general (adjugate) inverse only for d <= 3 — use "
+        "minv_pd for symmetric PD or inv_ipl for (I + P·Λ)⁻¹ at any d"
+    )
 
 
 def msolve(a: Mat, b: Mat) -> Mat:
@@ -201,31 +224,126 @@ def vzeros(d: int, like: jnp.ndarray) -> Vec:
 
 
 def mchol(a: Mat) -> Mat:
-    """Closed-form lower Cholesky of a PD channel matrix, d ≤ 3."""
+    """Unrolled lower Cholesky of a PD channel matrix (any static d)."""
     d = _dim(a)
     if d == 1:
         return ((jnp.sqrt(a[0][0]),),)
-    if d == 2:
-        l00 = jnp.sqrt(a[0][0])
-        l10 = a[1][0] / l00
-        l11 = jnp.sqrt(a[1][1] - l10 * l10)
-        zero = jnp.zeros_like(l00)
-        return ((l00, zero), (l10, l11))
-    if d == 3:
-        l00 = jnp.sqrt(a[0][0])
-        l10 = a[1][0] / l00
-        l20 = a[2][0] / l00
-        l11 = jnp.sqrt(a[1][1] - l10 * l10)
-        l21 = (a[2][1] - l20 * l10) / l11
-        l22 = jnp.sqrt(a[2][2] - l20 * l20 - l21 * l21)
-        zero = jnp.zeros_like(l00)
-        return ((l00, zero, zero), (l10, l11, zero), (l20, l21, l22))
-    raise NotImplementedError("channelized cholesky only for d <= 3")
+    zero = jnp.zeros_like(a[0][0])
+    l = [[zero] * d for _ in range(d)]
+    for j in range(d):
+        s = a[j][j] - sum(l[j][k] * l[j][k] for k in range(j))
+        l[j][j] = jnp.sqrt(s)
+        for i in range(j + 1, d):
+            t = a[i][j] - sum(l[i][k] * l[j][k] for k in range(j))
+            l[i][j] = t / l[j][j]
+    return tuple(tuple(row) for row in l)
+
+
+def mchol_psd(a: Mat) -> Mat:
+    """Guarded lower Cholesky for PSD (possibly rank-deficient) channel
+    matrices: zero pivots yield zero columns instead of NaN, and the guards
+    are double-``where``d so gradients stay finite at exact singularity
+    (sparse sites carry ``Λ = 0`` at unobserved points)."""
+    d = _dim(a)
+    zero = jnp.zeros_like(a[0][0])
+    l = [[zero] * d for _ in range(d)]
+    for j in range(d):
+        s = a[j][j] - sum(l[j][k] * l[j][k] for k in range(j))
+        ok = s > 0
+        s_safe = jnp.where(ok, s, 1.0)
+        ljj = jnp.where(ok, jnp.sqrt(s_safe), 0.0)
+        l[j][j] = ljj
+        denom = jnp.where(ok, ljj, 1.0)
+        for i in range(j + 1, d):
+            t = a[i][j] - sum(l[i][k] * l[j][k] for k in range(j))
+            l[i][j] = jnp.where(ok, t / denom, 0.0)
+    return tuple(tuple(row) for row in l)
+
+
+def tri_inv_lower(l: Mat, *, guarded: bool = False) -> Mat:
+    """``L⁻¹`` of a lower-triangular channel matrix by unrolled forward
+    substitution.  ``guarded=True`` maps zero pivots to zero rows (paired
+    with :func:`mchol_psd` inside scans whose garbage lanes are masked)."""
+    d = _dim(l)
+    zero = jnp.zeros_like(l[0][0])
+    recip = []
+    for i in range(d):
+        if guarded:
+            ok = jnp.abs(l[i][i]) > 0
+            safe = jnp.where(ok, l[i][i], 1.0)
+            recip.append(jnp.where(ok, 1.0 / safe, 0.0))
+        else:
+            recip.append(1.0 / l[i][i])
+    inv = [[zero] * d for _ in range(d)]
+    for j in range(d):
+        inv[j][j] = recip[j]
+        for i in range(j + 1, d):
+            s = sum(l[i][k] * inv[k][j] for k in range(j, i))
+            inv[i][j] = -s * recip[i]
+    return tuple(tuple(row) for row in inv)
+
+
+def minv_pd(a: Mat, *, guarded: bool = False) -> Mat:
+    """Inverse of a symmetric PD channel matrix, any static d.
+
+    d ≤ 3 (unguarded) keeps the adjugate closed form; otherwise routes
+    through Cholesky: ``A⁻¹ = L⁻ᵀ L⁻¹``."""
+    d = _dim(a)
+    if d <= 3 and not guarded:
+        return minv(a)
+    li = tri_inv_lower(mchol_psd(a) if guarded else mchol(a), guarded=guarded)
+    return mm(mt(li), li)
+
+
+def msolve_pd(a: Mat, b: Mat) -> Mat:
+    """``A⁻¹ B`` for symmetric PD ``A``, any static d."""
+    return mm(minv_pd(a), b)
+
+
+def msolve_pd_vec(a: Mat, v: Vec) -> Vec:
+    return mv(minv_pd(a), v)
+
+
+def inv_ipl(p: Mat, lam: Mat) -> Mat:
+    """``(I + P·Λ)⁻¹`` for PSD ``P`` and PSD (possibly singular) ``Λ``.
+
+    d ≤ 3 uses the adjugate directly.  For larger d the product ``P·Λ`` is
+    not symmetric, so we go through Woodbury with ``U = chol(Λ)``:
+
+        ``(I + P U Uᵀ)⁻¹ = I − P U (I + Uᵀ P U)⁻¹ Uᵀ``
+
+    where ``M = I + UᵀPU ⪰ I`` is symmetric PD — stable for any d, and
+    exact at ``Λ = 0`` (sparse sites) thanks to the guarded chol."""
+    d = _dim(p)
+    if d <= 3:
+        return minv(madd(meye(d, p[0][0]), mm(p, lam)))
+    u = mchol_psd(lam)
+    pu = mm(p, u)
+    m = madd(meye(d, p[0][0]), mm(mt(u), pu))
+    m_inv = minv_pd(m, guarded=True)
+    return msub(meye(d, p[0][0]), mm(pu, mm(m_inv, mt(u))))
+
+
+def logdet_ipl(p: Mat, lam: Mat):
+    """``log|I + P·Λ|`` for PSD ``P``, PSD ``Λ`` — any static d via
+    ``det(I + PUUᵀ) = det(I + UᵀPU)`` and the Cholesky-diagonal log-det."""
+    d = _dim(p)
+    if d <= 3:
+        return jnp.log(det(madd(meye(d, p[0][0]), mm(p, lam))))
+    u = mchol_psd(lam)
+    m = madd(meye(d, p[0][0]), mm(mt(u), mm(p, u)))
+    lm = mchol(m)
+    return 2.0 * sum(jnp.log(lm[i][i]) for i in range(d))
 
 
 def logdet_pd(a: Mat):
-    """``log|A|`` for PD channel matrices (via the closed-form det)."""
-    return jnp.log(det(a))
+    """``log|A|`` for PD channel matrices, any static d (closed-form det
+    for d ≤ 3, Cholesky-diagonal otherwise)."""
+    d = _dim(a)
+    if d <= 3:
+        return jnp.log(det(a))
+    l = mchol(a)
+    return 2.0 * sum(jnp.log(l[i][i]) for i in range(d))
 
 
 def madd_scalar_diag(a: Mat, s) -> Mat:

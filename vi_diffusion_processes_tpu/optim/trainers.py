@@ -41,7 +41,7 @@ class CVISitesTrainer:
     learn_prior_sde: bool = False
     #: run the inner site loop on the structure-of-scalars packed state
     #: (models/cvi_dp_packed*) — the TPU layout fast path.  Auto-disabled
-    #: when the model is not an SDE-CVI or d > 3.
+    #: when the model is not an SDE-CVI or d > 8.
     use_packed: bool = True
     elbo_trace: List[float] = field(default_factory=list)
 
@@ -54,7 +54,7 @@ class CVISitesTrainer:
         if (
             self.use_packed
             and isinstance(self.model, CVISitesSDE)
-            and self.model.state_dim <= 3
+            and self.model.state_dim <= 8
         ):
             if self.model.state_dim == 1:
                 from ..models.cvi_dp_packed import (

@@ -168,13 +168,21 @@ def _make_filter_elements(ssm: StateSpaceModel, nat1: jnp.ndarray, nat2_prec: jn
 #: tests lower this to exercise the channel path on small grids
 CH_THRESHOLD = 4096
 
+#: channelized path state-dim ceiling.  d ≤ 3 uses adjugate inverses; 4 ≤ d
+#: ≤ CH_MAX_DIM routes every inverse through PD Cholesky/Woodbury forms
+#: (chmat.inv_ipl/minv_pd) — covers kernel sums (Matern52+Matern12 → d=4)
+#: and small spatio-temporal state dims.  Beyond this the unrolled channel
+#: algebra (O(d³) scalar ops per compose) stops paying for itself and the
+#: dense [T,d,d] path takes over.
+CH_MAX_DIM = 8
+
 
 def _ch_eligible(ssm: StateSpaceModel, nat1: jnp.ndarray) -> bool:
     """Unbatched, small-d, long-grid: the channelized path applies."""
     return (
         nat1.ndim == 2
         and ssm.state_transitions.ndim == 3
-        and 1 <= ssm.state_dim <= 3
+        and 1 <= ssm.state_dim <= CH_MAX_DIM
         and nat1.shape[0] >= CH_THRESHOLD
     )
 
@@ -198,18 +206,15 @@ def _make_filter_elements_ch(ssm: StateSpaceModel, nat1, nat2_prec):
     # element 0: site-updated prior (scalar channels, shape [])
     p0 = cm.mat_to_ch(ssm.initial_covariance)
     m0 = cm.vec_to_ch(ssm.initial_mean)
-    eye0 = cm.meye(d, m0[0])
-    ipl0 = cm.madd(eye0, cm.mm(p0, lm0))
-    c0 = cm.sym(cm.msolve(ipl0, p0))
-    b0 = cm.msolve_vec(ipl0, cm.vadd(m0, cm.mv(p0, th0)))
+    ipl0_inv = cm.inv_ipl(p0, lm0)  # (I + P₀Λ₀)⁻¹ — PD-routed at any d
+    c0 = cm.sym(cm.mm(ipl0_inv, p0))
+    b0 = cm.mv(ipl0_inv, cm.vadd(m0, cm.mv(p0, th0)))
     a0 = cm.mzeros(d, m0[0])
     eta0 = cm.vzeros(d, m0[0])
     j0 = cm.mzeros(d, m0[0])
 
     # elements 1..N
-    eye = cm.meye(d, b[0])
-    iql = cm.madd(eye, cm.mm(q, lm_r))  # (I + QΛ)
-    iql_inv = cm.minv(iql)
+    iql_inv = cm.inv_ipl(q, lm_r)  # (I + QΛ)⁻¹
     a_star = cm.mm(iql_inv, a)
     b_star = cm.mv(iql_inv, cm.vadd(b, cm.mv(q, th_r)))
     c_star = cm.sym(cm.mm(iql_inv, q))
@@ -265,8 +270,7 @@ def _filter_compose_ch(d: int):
     def fn(x, y):
         a_i, b_i, c_i, eta_i, j_i = _elem_unpack(x, d)
         a_j, b_j, c_j, eta_j, j_j = _elem_unpack(y, d)
-        eye = cm.meye(d, a_i[0][0])
-        g = cm.minv(cm.madd(eye, cm.mm(c_i, j_j)))
+        g = cm.inv_ipl(c_i, j_j)  # (I + C_i J_j)⁻¹, PSD×PSD — any d
         gt = cm.mt(g)
         ajg = cm.mm(a_j, g)
         a = cm.mm(ajg, a_i)
@@ -412,8 +416,8 @@ def _parallel_smoother_ch(ssm: StateSpaceModel, filt: FilterResult) -> SmootherR
     fm_k = tuple(x[:-1] for x in fm)
     fc_k = tuple(tuple(x[:-1] for x in row) for row in fc)
 
-    # E_k = P_k|k A_kᵀ (P_{k+1}^-)⁻¹ = ((P⁻)⁻¹ A P_k|k)ᵀ
-    e_k = cm.mt(cm.msolve(pc_next, cm.mm(a, fc_k)))
+    # E_k = P_k|k A_kᵀ (P_{k+1}^-)⁻¹ = ((P⁻)⁻¹ A P_k|k)ᵀ — P⁻ is PD
+    e_k = cm.mt(cm.msolve_pd(pc_next, cm.mm(a, fc_k)))
     g_k = cm.vsub(fm_k, cm.mv(e_k, cm.vadd(cm.mv(a, fm_k), b)))
     l_k = cm.sym(cm.msub(fc_k, cm.mm(e_k, cm.mm(a, fc_k))))
 
@@ -450,7 +454,7 @@ def site_log_normalizer_ch(
     filt: FilterResult, nat1: jnp.ndarray, nat2_prec: jnp.ndarray
 ) -> jnp.ndarray:
     """Channelized `site_log_normalizer` (same closed form, scalar channels;
-    the log-determinant uses the adjugate det — positive for PSD ``I+PΛ``)."""
+    ``(I+PΛ)⁻¹`` and ``log|I+PΛ|`` are PD-routed for any static d)."""
     from ..ops import chmat as cm
 
     d = nat1.shape[-1]
@@ -458,10 +462,8 @@ def site_log_normalizer_ch(
     m = cm.vec_to_ch(filt.pred_means)
     th = cm.vec_to_ch(nat1)
     lm = cm.mat_to_ch(nat2_prec)
-    eye = cm.meye(d, m[0])
-    ipl = cm.madd(eye, cm.mm(p, lm))
-    ipl_inv = cm.minv(ipl)
-    logdet = jnp.log(cm.det(ipl))
+    ipl_inv = cm.inv_ipl(p, lm)
+    logdet = cm.logdet_ipl(p, lm)
     m_prime = cm.mv(ipl_inv, m)
     p_prime = cm.mm(ipl_inv, p)
     term_quad_m = -0.5 * cm.quad_form(m, lm, m_prime)
@@ -476,7 +478,7 @@ def parallel_smoother(ssm: StateSpaceModel, filt: FilterResult) -> SmootherResul
     if (
         filt.means.ndim == 2
         and ssm.state_transitions.ndim == 3
-        and 1 <= ssm.state_dim <= 3
+        and 1 <= ssm.state_dim <= CH_MAX_DIM
         and filt.means.shape[0] >= CH_THRESHOLD
     ):
         return _parallel_smoother_ch(ssm, filt)
@@ -555,7 +557,7 @@ def site_log_normalizer(
     """
     if (
         nat1.ndim == 2
-        and 1 <= nat1.shape[-1] <= 3
+        and 1 <= nat1.shape[-1] <= CH_MAX_DIM
         and nat1.shape[0] >= CH_THRESHOLD
     ):
         return site_log_normalizer_ch(filt, nat1, nat2_prec)

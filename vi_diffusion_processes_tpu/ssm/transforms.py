@@ -150,13 +150,14 @@ def naturals_to_ssm_params(theta_linear, theta_diag, theta_sub):
         # O(log N)-depth Möbius-scan fast path for the CVI hot loop
         d_blocks, u_super = btd_udu_parallel_1d(prec)
     elif (
-        d <= 3
+        2 <= d <= 8
         and theta_diag.ndim == 3
         and theta_diag.dtype == jnp.float64
         and theta_diag.shape[0] >= 4096
     ):
-        # d=2/3 long grids: channelized matrix-LFT scan (needs invertible
-        # sub-blocks — true for SpInGP precisions; exact in f64)
+        # 2 ≤ d ≤ 8 long grids: channelized Schur-segment scan (all pivots
+        # PD; d ≥ 4 inverses are PD-Cholesky-routed inside udu_channels —
+        # covers kernel-sum and small spatio-temporal state dims)
         d_blocks, u_super = btd_udu_parallel_ch(prec)
     else:
         d_blocks, u_super = btd_udu(prec)
