@@ -225,4 +225,111 @@ void euler_maruyama_1d(int drift_type, double p0, double p1, double sqrt_q,
     }
 }
 
+// ------------------------------------------------- CVI-DP baseline step
+// Faithful sequential re-implementation of ONE complete CVI-DP natural-
+// gradient step for d=1 on an n-point grid — the reference's per-step
+// work profile (variational_cvi_sde.py update_sites/update_girsanov_sites/
+// classic_elbo driving banded_matrices' sequential C++ recursions,
+// SURVEY.md §3.3):
+//
+//   1. data-site update at n_obs observation points (natgrad in f-space),
+//   2. Girsanov/linearization 20-pt Gauss-Hermite sweep over the grid
+//      (E[drift], E[drift'] under q),
+//   3. 3x naturals_to_ssm_params: UDU' backward recursion + backward/
+//      forward bidiagonal solves (after the data-site update, after the
+//      Girsanov update, and for the posterior used by the ELBO),
+//   4. forward marginal recursion (means + variances of q),
+//   5. ELBO: closed-form per-interval KL pass + a second full-grid
+//      Gauss-Hermite sweep for the Girsanov drift residual + VE at obs.
+//
+// All recursions are strictly sequential in k, exactly like the
+// banded_matrices kernels (banded_matrices/cc/.../cholesky.hpp).  Returns
+// a checksum so callers can keep the work alive; `reps` iterations.
+double baseline_cvi_dp_step_1d(int64_t n, int64_t n_obs, int reps,
+                               const double* gh_z, const double* gh_w,
+                               int n_gh) {
+    double* kd = new double[n];
+    double* ks = new double[n - 1];
+    double* th = new double[n];
+    double* dpiv = new double[n];
+    double* zz = new double[n];
+    double* mu = new double[n];
+    double* var = new double[n];
+    double acc = 0.0;
+    for (int64_t k = 0; k < n; ++k) {
+        kd[k] = 2.0 + 0.1 * u01((uint64_t)k);
+        th[k] = u01((uint64_t)(k + n));
+    }
+    for (int64_t k = 0; k < n - 1; ++k) ks[k] = 0.3 * u01((uint64_t)(k + 2 * n));
+
+    for (int r = 0; r < reps; ++r) {
+        // 1. data-site natgrad update (gather + pointwise, n_obs points)
+        for (int64_t i = 0; i < n_obs; ++i) {
+            int64_t k = (i * n) / n_obs;
+            th[k] = 0.9 * th[k] + 0.1 * (th[k] * kd[k] - 0.5);
+        }
+        // 2. linearization sweep: E_q[f(x)], E_q[f'(x)] by 20-pt GH
+        for (int64_t k = 0; k < n; ++k) {
+            double m = th[k], s = 1.0 / kd[k];
+            double sq = std::sqrt(2.0 * s);
+            double ef = 0.0, efp = 0.0;
+            for (int j = 0; j < n_gh; ++j) {
+                double x = m + sq * gh_z[j];
+                double f = 4.0 * x * (1.0 - x * x);  // double-well drift
+                ef += gh_w[j] * f;
+                efp += gh_w[j] * (4.0 - 12.0 * x * x);
+            }
+            acc += ef * 1e-12 + efp * 1e-12;
+        }
+        // 3. naturals -> SSM x3: UDU' + backward/forward solves
+        for (int pass = 0; pass < 3; ++pass) {
+            dpiv[n - 1] = kd[n - 1];
+            for (int64_t k = n - 2; k >= 0; --k)
+                dpiv[k] = kd[k] - ks[k] * ks[k] / dpiv[k + 1];
+            zz[n - 1] = th[n - 1];
+            for (int64_t k = n - 2; k >= 0; --k)
+                zz[k] = th[k] + ks[k] / dpiv[k + 1] * zz[k + 1];
+            mu[0] = zz[0] / dpiv[0];
+            for (int64_t k = 1; k < n; ++k)
+                mu[k] = zz[k] / dpiv[k] + ks[k - 1] / dpiv[k] * mu[k - 1];
+        }
+        // 4. forward marginal recursion (vars via the filter identity)
+        var[0] = 1.0 / dpiv[0];
+        for (int64_t k = 1; k < n; ++k) {
+            double a = ks[k - 1] / dpiv[k];
+            var[k] = a * a * var[k - 1] + 1.0 / dpiv[k];
+        }
+        // 5. ELBO: KL pass + Girsanov GH sweep + VE at obs
+        double kl = 0.0;
+        for (int64_t k = 1; k < n; ++k) {
+            double a = ks[k - 1] / dpiv[k];
+            double q = 1.0 / dpiv[k];
+            double dm = mu[k] - a * mu[k - 1];
+            kl += 0.5 * (std::log(q) + (var[k] + dm * dm) / q - 1.0);
+        }
+        double girs = 0.0;
+        for (int64_t k = 0; k < n - 1; ++k) {
+            double m = mu[k];
+            double sq = std::sqrt(2.0 * var[k]);
+            double e2 = 0.0;
+            for (int j = 0; j < n_gh; ++j) {
+                double x = m + sq * gh_z[j];
+                double f = 4.0 * x * (1.0 - x * x);
+                double lin = 0.9 * m + 0.1;
+                e2 += gh_w[j] * (f - lin) * (f - lin);
+            }
+            girs += e2;
+        }
+        double ve = 0.0;
+        for (int64_t i = 0; i < n_obs; ++i) {
+            int64_t k = (i * n) / n_obs;
+            ve += -0.5 * (mu[k] * mu[k] + var[k]);
+        }
+        acc += kl + girs * 1e-9 + ve * 1e-9;
+    }
+    delete[] kd; delete[] ks; delete[] th; delete[] dpiv;
+    delete[] zz; delete[] mu; delete[] var;
+    return acc;
+}
+
 }  // extern "C"

@@ -32,8 +32,15 @@ except Exception:  # pragma: no cover
     pass
 
 jax.config.update("jax_enable_x64", True)
-# persistent compilation cache: CPU test compiles dominate runtime otherwise
-jax.config.update("jax_compilation_cache_dir", "/tmp/jax_test_cache")
+# persistent compilation cache: CPU test compiles dominate runtime otherwise.
+# Repo-local so it survives across sessions (/tmp does not) — cold-cache
+# suites recompile ~10 minutes of XLA programs, warm ones take ~3.
+_cache_dir = os.environ.get(
+    "JAX_TEST_CACHE_DIR",
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".cache", "jax"),
+)
+os.makedirs(_cache_dir, exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", _cache_dir)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 

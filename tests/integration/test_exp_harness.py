@@ -60,6 +60,67 @@ def test_run_gpr_baseline():
     assert np.isfinite(out["nlpd"]) and np.isfinite(out["rmse"])
 
 
+def test_run_sgpr_baseline():
+    """SGPR runner (stock/sgpr_stock.py semantics): ELBO ascends, metrics
+    finite, and the sparse posterior beats the zero predictor."""
+    from vi_diffusion_processes_tpu.exp.runners import run_sgpr
+
+    config = small_config(prior_sde="ou", prior_sde_kwargs={"decay": 1.0},
+                          num_inducing=15)
+    out = run_sgpr(config)
+    assert out["elbos"][-1] > out["elbos"][0]
+    assert np.isfinite(out["nlpd"]) and np.isfinite(out["rmse"])
+    ds = make_dataset(config)
+    baseline_rmse = float(jnp.sqrt(jnp.mean(ds.test_values**2)))
+    assert out["rmse"] < baseline_rmse
+
+
+def test_dataset_npz_roundtrip(tmp_path):
+    """save_dataset_npz ↔ load_exp_data round-trip with the reference key
+    set (generate_data.py:128-141 / exp_dp_utils.py:108-125)."""
+    from vi_diffusion_processes_tpu.exp.data import load_exp_data, save_dataset_npz
+
+    ds = make_dataset(small_config())
+    path = tmp_path / "data.npz"
+    save_dataset_npz(path, ds, sde_name="dw", q=0.8)
+    raw = np.load(path, allow_pickle=True)
+    for key in ("sde", "decay", "Q", "x0", "sigma", "latent_process",
+                "observations", "observation_grid", "time_grid",
+                "test_observations", "test_grid"):
+        assert key in raw, key
+    ds2 = load_exp_data(path)
+    np.testing.assert_allclose(ds2.latent_path, ds.latent_path)
+    np.testing.assert_allclose(ds2.obs_times, ds.obs_times)
+    np.testing.assert_allclose(ds2.test_values, ds.test_values)
+    assert ds2.noise_stddev == ds.noise_stddev
+
+
+def test_generate_data_cli(tmp_path):
+    """`python -m ...exp generate_data` writes the npz artifact."""
+    from vi_diffusion_processes_tpu.exp.cli import main
+
+    out = tmp_path / "ds.npz"
+    rc = main(["generate_data", "prior_sde=ou", "num_grid=51",
+               "num_observations=10", "--out", str(out)])
+    assert rc == 0 and out.exists()
+    raw = np.load(out, allow_pickle=True)
+    assert raw["latent_process"].shape == (51, 1)
+
+
+def test_run_artifacts_and_plots(tmp_path):
+    """output_dir runs save posteriors/statistics/model npz + plots
+    (cvi_dp.py:140-155, exp_dp_utils plotting)."""
+    out_dir = tmp_path / "run"
+    config = small_config(output_dir=str(out_dir), max_outer_iters=2,
+                          max_inner_iters=4)
+    run_cvi_dp(config)
+    for name in ("posteriors.npz", "training_statistics.npz", "cvi_model.npz",
+                 "objective.png", "posterior.png"):
+        assert (out_dir / name).exists(), name
+    stats = np.load(out_dir / "training_statistics.npz")
+    assert np.isfinite(stats["elbo"]).all()
+
+
 def test_modify_time_grid_and_k_folds():
     from vi_diffusion_processes_tpu.exp.data import get_k_folds, modify_time_grid
 

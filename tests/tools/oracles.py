@@ -109,3 +109,73 @@ def kalman_filter_rts(params, nat1, nat2_prec):
         sm[k] = fm[k] + e @ (sm[k + 1] - m_pred)
         sc[k] = fc[k] + e @ (sc[k + 1] - p_pred) @ e.T
     return fm, fc, sm, sc, gains, log_z
+
+
+def kf_forward_filter(params, H, R, observations, obs_means=None):
+    """Sequential observation-space Kalman filter: the functional analogue
+    of the reference's hand-written oracle
+    (tests/tools/numpy_kalman_filter.py:66-135 ``forward_filter`` and
+    :386-422 ``NumpyKalmanFilterWithSites``).
+
+    ``H [out, d]`` or per-step ``[n+1, out, d]``; ``R [out, out]`` or
+    per-step ``[n+1, out, out]``; ``observations [n+1, out]``;
+    ``obs_means`` shifts each observation site (sites variant, else 0).
+    Observations are attached to every one of the ``n+1`` chain states.
+
+    Returns ``(log_liks [n+1], filt_means, filt_covs, pred_means,
+    pred_covs)`` where pred is p(xₖ | y₍<ₖ₎).
+    """
+    As = params["state_transitions"]
+    bs = params["state_offsets"]
+    n, d = As.shape[0], As.shape[-1]
+    out = observations.shape[-1]
+    chols = np.concatenate(
+        [params["chol_initial_covariance"][None], params["chol_process_covariances"]],
+        axis=0,
+    )
+    qs = chols @ np.swapaxes(chols, -1, -2)
+    Hs = np.broadcast_to(H, (n + 1, out, d)) if H.ndim == 2 else H
+    Rs = np.broadcast_to(R, (n + 1, out, out)) if R.ndim == 2 else R
+    ms = np.zeros((n + 1, out)) if obs_means is None else obs_means
+
+    log_liks = np.zeros(n + 1)
+    fm = np.zeros((n + 1, d))
+    fc = np.zeros((n + 1, d, d))
+    pm = np.zeros((n + 1, d))
+    pc = np.zeros((n + 1, d, d))
+    m_pred, p_pred = params["initial_mean"].copy(), qs[0].copy()
+    for k in range(n + 1):
+        pm[k], pc[k] = m_pred, p_pred
+        hk = Hs[k]
+        v = observations[k] - ms[k] - hk @ m_pred
+        s = hk @ p_pred @ hk.T + Rs[k]
+        s_inv = np.linalg.inv(s)
+        gain = p_pred @ hk.T @ s_inv
+        fm[k] = m_pred + gain @ v
+        fc[k] = (np.eye(d) - gain @ hk) @ p_pred
+        log_liks[k] = -0.5 * (
+            v @ s_inv @ v + out * np.log(2 * np.pi) + np.linalg.slogdet(s)[1]
+        )
+        if k < n:
+            m_pred = As[k] @ fm[k] + bs[k]
+            p_pred = As[k] @ fc[k] @ As[k].T + qs[k + 1]
+    return log_liks, fm, fc, pm, pc
+
+
+def rts_backward_pass(params, fm, fc):
+    """Sequential RTS smoother over the filtered moments (the reference's
+    ``backward_smoothing_pass``, tests/tools/numpy_kalman_filter.py:137-178)."""
+    As = params["state_transitions"]
+    bs = params["state_offsets"]
+    n = As.shape[0]
+    qs = params["chol_process_covariances"] @ np.swapaxes(
+        params["chol_process_covariances"], -1, -2
+    )
+    sm, sc = fm.copy(), fc.copy()
+    for k in range(n - 1, -1, -1):
+        m_pred = As[k] @ fm[k] + bs[k]
+        p_pred = As[k] @ fc[k] @ As[k].T + qs[k]
+        g = fc[k] @ As[k].T @ np.linalg.inv(p_pred)
+        sm[k] = fm[k] + g @ (sm[k + 1] - m_pred)
+        sc[k] = fc[k] + g @ (sc[k + 1] - p_pred) @ g.T
+    return sm, sc

@@ -22,25 +22,50 @@ import json
 import sys
 
 from .logging import MetricsLogger
-from .runners import ExperimentConfig, run_cvi_dp, run_gpr, run_vdp
+from .runners import ExperimentConfig, run_cvi_dp, run_gpr, run_sgpr, run_vdp
 
-_RUNNERS = {"run_cvi_dp": run_cvi_dp, "run_vdp": run_vdp, "run_gpr": run_gpr}
+_RUNNERS = {
+    "run_cvi_dp": run_cvi_dp,
+    "run_vdp": run_vdp,
+    "run_gpr": run_gpr,
+    "run_sgpr": run_sgpr,
+}
+
+
+def _generate_data(config: ExperimentConfig, out_path: str) -> None:
+    """``generate_data`` subcommand: simulate the prior SDE and write the
+    reference-compatible ``.npz`` artifact (generate_data.py:70-141)."""
+    from .data import save_dataset_npz
+    from .runners import make_dataset
+
+    dataset = make_dataset(config)
+    save_dataset_npz(
+        out_path, dataset, sde_name=config.prior_sde, q=config.q,
+        decay=float(config.prior_sde_kwargs.get("decay", 0.0)),
+    )
+    print(json.dumps({"runner": "generate_data", "path": out_path,
+                      "n_obs": int(dataset.obs_times.shape[0]),
+                      "n_grid": int(dataset.time_grid.shape[0])}))
 
 
 def main(argv=None) -> int:
     parser = argparse.ArgumentParser(
         prog="vi_diffusion_processes_tpu.exp", description=__doc__
     )
-    parser.add_argument("runner", choices=sorted(_RUNNERS))
+    parser.add_argument("runner", choices=sorted(_RUNNERS) + ["generate_data"])
     parser.add_argument("overrides", nargs="*", help="key=value config overrides")
     parser.add_argument("--config", default=None, help="YAML config file")
-    parser.add_argument("--out", default=None, help="JSONL metrics file")
+    parser.add_argument("--out", default=None, help="JSONL metrics file / npz path")
     args = parser.parse_args(argv)
 
     if args.config is not None:
         config = ExperimentConfig.from_yaml(args.config, overrides=args.overrides)
     else:
         config = ExperimentConfig.from_yaml_overrides(args.overrides)
+
+    if args.runner == "generate_data":
+        _generate_data(config, args.out or "dataset.npz")
+        return 0
 
     out = _RUNNERS[args.runner](config)
     summary = {

@@ -16,7 +16,15 @@ import numpy as np
 from ..sde.base import SDE
 from ..sde.utils import euler_maruyama
 
-__all__ = ["DPDataset", "get_observations", "build_prior_sde", "modify_time_grid", "get_k_folds"]
+__all__ = [
+    "DPDataset",
+    "get_observations",
+    "build_prior_sde",
+    "modify_time_grid",
+    "get_k_folds",
+    "save_dataset_npz",
+    "load_exp_data",
+]
 
 
 class DPDataset(NamedTuple):
@@ -114,6 +122,51 @@ def modify_time_grid(time_grid: jnp.ndarray, dt: float) -> jnp.ndarray:
     n_decimals = str(dt)[::-1].find(".")
     grid = np.arange(t0, t1 + dt, dt)
     return jnp.asarray(np.round(grid, max(n_decimals, 0)), time_grid.dtype)
+
+
+def save_dataset_npz(
+    path,
+    dataset: DPDataset,
+    sde_name: str = "",
+    q: float = 1.0,
+    decay: float = 0.0,
+) -> None:
+    """Write a reference-compatible ``.npz`` artifact
+    (generate_data.py:128-141 key set: sde, decay, Q, x0, sigma,
+    latent_process, observations, observation_grid, time_grid,
+    test_observations, test_grid)."""
+    d = dataset.latent_path.shape[-1]
+    np.savez(
+        path,
+        sde=sde_name,
+        decay=decay,
+        Q=q * np.eye(d),
+        x0=np.asarray(dataset.x0).reshape(1, d),
+        sigma=dataset.noise_stddev,
+        latent_process=np.asarray(dataset.latent_path),
+        observations=np.asarray(dataset.obs_values),
+        observation_grid=np.asarray(dataset.obs_times),
+        time_grid=np.asarray(dataset.time_grid),
+        test_observations=np.asarray(dataset.test_values),
+        test_grid=np.asarray(dataset.test_times),
+    )
+
+
+def load_exp_data(path) -> DPDataset:
+    """Load a reference-format ``.npz`` (exp_dp_utils.py:108-125) back into
+    a :class:`DPDataset` (Q/decay/sde metadata are in the file for the
+    caller; the dataset carries the arrays)."""
+    data = np.load(path, allow_pickle=True)
+    return DPDataset(
+        latent_path=jnp.asarray(data["latent_process"]),
+        time_grid=jnp.asarray(data["time_grid"]),
+        obs_times=jnp.asarray(data["observation_grid"]),
+        obs_values=jnp.asarray(data["observations"]),
+        test_times=jnp.asarray(data["test_grid"]),
+        test_values=jnp.asarray(data["test_observations"]),
+        noise_stddev=float(data["sigma"]),
+        x0=jnp.asarray(data["x0"]).reshape(-1),
+    )
 
 
 def get_k_folds(times: jnp.ndarray, values: jnp.ndarray, k_folds: int, seed: int = 0):

@@ -20,9 +20,16 @@ from ..models.cvi_dp import CVISitesSDE
 from ..models.vdp import VariationalMarkovGP
 from ..optim.trainers import CVISitesTrainer, VDPTrainer
 from .data import DPDataset, build_prior_sde, get_observations
-from .metrics import grid_indices, nlpd, rmse
+from .metrics import grid_indices, nlpd, nlpd_full, rmse
 
-__all__ = ["ExperimentConfig", "run_cvi_dp", "run_vdp", "run_gpr", "make_dataset"]
+__all__ = [
+    "ExperimentConfig",
+    "run_cvi_dp",
+    "run_vdp",
+    "run_gpr",
+    "run_sgpr",
+    "make_dataset",
+]
 
 
 @dataclasses.dataclass
@@ -49,6 +56,11 @@ class ExperimentConfig:
     # vdp trainer
     vdp_lr: float = 0.05
     vdp_warmup_steps: int = 20
+    # sgpr
+    num_inducing: int = 20
+    # artifacts: when set, runners save posteriors/statistics npz + plots
+    # here (cvi_dp.py:140-155 semantics)
+    output_dir: Optional[str] = None
 
     @classmethod
     def from_yaml(cls, path, overrides=()) -> "ExperimentConfig":
@@ -107,14 +119,74 @@ def make_dataset(config: ExperimentConfig) -> DPDataset:
     )
 
 
-def _metrics(model_means, model_vars, dataset: DPDataset) -> Dict[str, float]:
+def _metrics(model_means, model_covs, dataset: DPDataset) -> Dict[str, float]:
+    """NLPD (full predictive covariance — exp_dp_utils.py:189-206 semantics)
+    + RMSE at the grid indices matching the test times."""
     idx = grid_indices(dataset.time_grid, dataset.test_times)
     m = model_means[idx]
-    v = model_vars[idx]
+    s = model_covs[idx]
+    if s.ndim == m.ndim + 1:
+        nlpd_val = nlpd_full(m, s, dataset.test_values, dataset.noise_stddev**2)
+    else:
+        nlpd_val = nlpd(m, s, dataset.test_values, dataset.noise_stddev**2)
     return {
-        "nlpd": float(nlpd(m, v, dataset.test_values, dataset.noise_stddev**2)),
+        "nlpd": float(nlpd_val),
         "rmse": float(rmse(m, dataset.test_values)),
     }
+
+
+def _save_run(
+    output_dir: str, result: Dict, dataset: DPDataset, legend: str
+) -> None:
+    """Save posterior/statistics artifacts + plots into the run directory
+    (cvi_dp.py:140-155 npz key set; exp_dp_utils plotting)."""
+    import os
+
+    import numpy as np
+
+    from .plots import plot_line, plot_posterior
+
+    os.makedirs(output_dir, exist_ok=True)
+    m = np.asarray(result["posterior_means"])
+    s = np.asarray(result["posterior_covs"])
+    np.savez(
+        os.path.join(output_dir, "posteriors.npz"),
+        cvi_m=m, cvi_S=s, time_grid=np.asarray(dataset.time_grid),
+    )
+    np.savez(
+        os.path.join(output_dir, "training_statistics.npz"),
+        elbo=np.asarray(result.get("elbos", result.get("losses", []))),
+        nlpd=result["nlpd"], rmse=result["rmse"],
+    )
+    model = result["model"]
+    if hasattr(model, "data_sites"):
+        g = model.girsanov_sites
+        np.savez(
+            os.path.join(output_dir, "cvi_model.npz"),
+            data_sites_nat1=np.asarray(model.data_sites.nat1),
+            data_sites_nat2=np.asarray(model.data_sites.nat2),
+            girsanov_sites_nat1=np.asarray(g.nat1),
+            girsanov_sites_nat2_diag=np.asarray(g.nat2_diag),
+            girsanov_sites_nat2_subdiag=np.asarray(g.nat2_sub),
+        )
+    if "learned_prior_sde" in result and result["learned_prior_sde"] is not None:
+        import jax
+
+        leaves = {
+            f"param_{i}": np.asarray(x)
+            for i, x in enumerate(jax.tree_util.tree_leaves(result["learned_prior_sde"]))
+        }
+        np.savez(os.path.join(output_dir, "learnt_prior_params.npz"), **leaves)
+    trace = result.get("elbos", result.get("losses", []))
+    if len(trace):
+        plot_line(trace, os.path.join(output_dir, "objective.png"), title="objective")
+    plot_posterior(
+        m, s, dataset.obs_times, dataset.obs_values, dataset.time_grid,
+        latent_process=dataset.latent_path,
+        test_observations=(dataset.test_times, dataset.test_values),
+        output_path=os.path.join(output_dir, "posterior.png"),
+        model_legend=legend,
+    )
 
 
 def run_cvi_dp(config: ExperimentConfig, dataset: Optional[DPDataset] = None) -> Dict:
@@ -140,8 +212,8 @@ def run_cvi_dp(config: ExperimentConfig, dataset: Optional[DPDataset] = None) ->
     elbos = trainer.optimize()
     model = trainer.model
     means, covs = model.dist_q.marginals()
-    metrics = _metrics(means, jnp.diagonal(covs, axis1=-2, axis2=-1), dataset)
-    return {
+    metrics = _metrics(means, covs, dataset)
+    result = {
         "model": model,
         "elbos": elbos,
         "posterior_means": means,
@@ -149,6 +221,9 @@ def run_cvi_dp(config: ExperimentConfig, dataset: Optional[DPDataset] = None) ->
         "learned_prior_sde": model.prior_sde,
         **metrics,
     }
+    if config.output_dir is not None:
+        _save_run(config.output_dir, result, dataset, "CVI-DP")
+    return result
 
 
 def run_vdp(config: ExperimentConfig, dataset: Optional[DPDataset] = None) -> Dict:
@@ -171,8 +246,8 @@ def run_vdp(config: ExperimentConfig, dataset: Optional[DPDataset] = None) -> Di
     elbos = trainer.optimize(n_rounds=3 if config.learn_prior_sde else 1)
     model = trainer.model
     means, covs = model.forward_pass()
-    metrics = _metrics(means, jnp.diagonal(covs, axis1=-2, axis2=-1), dataset)
-    return {
+    metrics = _metrics(means, covs, dataset)
+    result = {
         "model": model,
         "elbos": elbos,
         "posterior_means": means,
@@ -180,6 +255,9 @@ def run_vdp(config: ExperimentConfig, dataset: Optional[DPDataset] = None) -> Di
         "learned_prior_sde": model.prior_sde,
         **metrics,
     }
+    if config.output_dir is not None:
+        _save_run(config.output_dir, result, dataset, "VDP")
+    return result
 
 
 def run_gpr(config: ExperimentConfig, dataset: Optional[DPDataset] = None) -> Dict:
@@ -226,6 +304,77 @@ def run_gpr(config: ExperimentConfig, dataset: Optional[DPDataset] = None) -> Di
         "model": model,
         "losses": losses,
         "kernel": kernel,
+        "nlpd": float(nlpd(f_mu, f_var, dataset.test_values, dataset.noise_stddev**2)),
+        "rmse": float(rmse(f_mu, dataset.test_values)),
+    }
+
+
+def run_sgpr(config: ExperimentConfig, dataset: Optional[DPDataset] = None) -> Dict:
+    """Sparse-GPR baseline (stock/sgpr_stock.py:33-60 semantics): an SVGP
+    with ``config.num_inducing`` inducing time points and a Gaussian
+    likelihood, Adam-trained (hyperparameters + variational SSM jointly)
+    until ``|ΔELBO| < optim_tol`` — the jittable analogue of gpflow SGPR's
+    collapsed bound on a Markov kernel."""
+    import optax
+
+    from ..kernels.matern import Matern32
+    from ..likelihoods.gaussian import Gaussian as GaussianLik
+    from ..models.svgp import SparseVariationalGaussianProcess
+
+    dataset = dataset or make_dataset(config)
+    dtype = dataset.obs_values.dtype
+    t = dataset.obs_times
+    z = jnp.linspace(t[0], t[-1], config.num_inducing, dtype=dtype)
+
+    def make_model(params, dist_q=None):
+        # positive hyperparameters live in log space (the reference trains
+        # through gpflow's softplus bijectors; base.py ordered/positive)
+        kern = Matern32(
+            lengthscale=jnp.exp(params["log_l"]), variance=jnp.exp(params["log_v"])
+        )
+        model = SparseVariationalGaussianProcess.initialize(
+            kernel=kern,
+            likelihood=GaussianLik(variance=jnp.exp(params["log_noise"])),
+            inducing_points=z,
+        )
+        if dist_q is not None:
+            model = model.replace(dist_q=dist_q)
+        return model
+
+    params = {
+        "log_l": jnp.asarray(0.0, dtype),
+        "log_v": jnp.asarray(0.0, dtype),
+        "log_noise": jnp.log(jnp.asarray(dataset.noise_stddev**2, dtype)),
+    }
+    dist_q = make_model(params).dist_q
+    data = (t, dataset.obs_values)
+    opt = optax.adam(0.05)
+    state = opt.init((params, dist_q))
+
+    @jax.jit
+    def step(p, q, s):
+        def loss_fn(p_q):
+            pp, qq = p_q
+            return make_model(pp, qq).loss(data)
+
+        loss, g = jax.value_and_grad(loss_fn)((p, q))
+        updates, s = opt.update(g, s)
+        p, q = optax.apply_updates((p, q), updates)
+        return p, q, s, -loss
+
+    elbos = []
+    optim_tol = 1e-2
+    for _ in range(config.max_outer_iters * 10):
+        params, dist_q, state, elbo = step(params, dist_q, state)
+        elbos.append(float(elbo))
+        if len(elbos) > 1 and abs(elbos[-1] - elbos[-2]) < optim_tol:
+            break
+
+    model = make_model(params, dist_q)
+    f_mu, f_var = model.posterior.predict_f(dataset.test_times)
+    return {
+        "model": model,
+        "elbos": elbos,
         "nlpd": float(nlpd(f_mu, f_var, dataset.test_values, dataset.noise_stddev**2)),
         "rmse": float(rmse(f_mu, dataset.test_values)),
     }
