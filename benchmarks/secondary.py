@@ -318,11 +318,26 @@ def spatio_temporal_cvi_10k():
             "value": round(1 / dt, 2), "unit": "steps/sec"}
 
 
+def cvi_dp_1m():
+    """The 1M-point long-context configuration (README's scaling claim) as
+    a first-class bench: the same full natgrad step as ``bench.py``'s
+    north-star (data sites + Girsanov sites + ELBO via the packed d=1
+    loop), at T=1,000,000."""
+    _setup()
+    import bench as flagship
+
+    dt, elbo = flagship.bench_tpu(1_000_000, n_steps=16, inner=8)
+    assert np.isfinite(elbo), f"1M-grid bench ELBO not finite: {elbo}"
+    return {"metric": "cvi_dp_full_natgrad_step_1m_grid",
+            "value": round(1 / dt, 2), "unit": "steps/sec"}
+
+
 ALL = {"gpr_100k": gpr_100k, "cvi_poisson_100k": cvi_poisson_100k,
        "batched_cvi_dp": batched_cvi_dp, "vdp_100k": vdp_100k,
        "vanderpol_cvi_dp_100k": vanderpol_cvi_dp_100k,
        "gpr_d4_sum_100k": gpr_d4_sum_100k,
-       "spatio_temporal_cvi_10k": spatio_temporal_cvi_10k}
+       "spatio_temporal_cvi_10k": spatio_temporal_cvi_10k,
+       "cvi_dp_1m": cvi_dp_1m}
 
 
 if __name__ == "__main__":

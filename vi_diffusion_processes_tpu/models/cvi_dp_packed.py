@@ -154,6 +154,16 @@ def _marginals_1d(a, b, qv, mu0, p0v):
         a2, b2, q2 = e2
         return a2 * a1, a2 * b1 + b2, a2 * q1 * a2 + q2
 
+    if a.ndim == 1 and a.shape[0] >= 4096 and jax.default_backend() == "tpu":
+        # two fused linear recurrences (ops/pallas_scan.py):
+        # m_k = a_k m_{k−1} + b_k,  v_k = a_k² v_{k−1} + qv_k
+        from ..ops.pallas_scan import linear_recurrence
+
+        m_rest = linear_recurrence(a, b, mu0, False)
+        v_rest = linear_recurrence(a * a, qv, p0v, False)
+        means = jnp.concatenate([mu0[None], m_rest])
+        varis = jnp.concatenate([p0v[None], v_rest])
+        return means, varis
     if a.ndim == 1 and a.shape[0] >= 4096:
         from ..ops.blocked_scan import blocked_assoc_scan
 

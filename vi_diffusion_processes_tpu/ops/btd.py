@@ -469,6 +469,13 @@ def riccati_d_scalar(kd: jnp.ndarray, b2: jnp.ndarray, block_size: int = 512) ->
     n = kd.shape[-1]
     batch = kd.shape[:-1]
     if kd.dtype == jnp.float64:
+        if not batch and n >= 4096 and jax.default_backend() == "tpu":
+            # fused double-float Pallas sweep: one kernel for the whole
+            # scan (~4e-15 rel error); the XLA blocked scans below spend
+            # ~90% of their device time in slice/pad/DUS op dispatches
+            from .pallas_scan import riccati_d_sweep_df
+
+            return riccati_d_sweep_df(kd, b2)
         if not batch and n >= 4096:
             # long grids: same Möbius composition through the blocked
             # layout — lax.associative_scan's stride-2 slice/pad tree
@@ -594,6 +601,10 @@ def scalar_affine_all(t: jnp.ndarray, c: jnp.ndarray, x0, *, reverse: bool = Fal
         a2, b2_ = e2
         return a2 * a1, a2 * b1 + b2_
 
+    if t.ndim == 1 and t.shape[0] >= 4096 and jax.default_backend() == "tpu":
+        from .pallas_scan import linear_recurrence
+
+        return linear_recurrence(t, c, jnp.asarray(x0, t.dtype), reverse)
     if t.ndim == 1 and t.shape[0] >= 4096:
         from .blocked_scan import blocked_assoc_scan
 
