@@ -16,7 +16,11 @@ EXAMPLES = sorted(
     (pathlib.Path(__file__).parents[2] / "docs" / "examples").glob("*.py")
 )
 
-PER_EXAMPLE_TIMEOUT_S = 180
+import os
+
+#: generous enough for a cold persistent-cache compile of the heaviest
+#: example; warm runs finish in ≤30 s each
+PER_EXAMPLE_TIMEOUT_S = int(os.environ.get("EXAMPLE_TIMEOUT_S", "420"))
 
 
 class _Timeout(Exception):

@@ -26,7 +26,7 @@ from flax import struct
 from ..config import default_jitter
 from ..ssm.emission import EmissionModel
 from ..ssm.state_space_model import StateSpaceModel, ssm_from_covariances
-from ..utils.linalg import block_diag, kron, transpose_last
+from ..utils.linalg import block_diag, kron, matmul_small, transpose_last
 from ..utils.shapes import to_delta_time
 
 __all__ = [
@@ -181,7 +181,7 @@ class StationaryKernel(SDEKernel):
     def transition_statistics(self, transition_times, time_deltas):
         a_s = self.state_transitions(transition_times, time_deltas)
         p_inf = self.steady_state_covariance.astype(a_s.dtype)
-        q_s = p_inf - a_s @ p_inf @ transpose_last(a_s)
+        q_s = p_inf - matmul_small(matmul_small(a_s, p_inf), transpose_last(a_s))
         return a_s, q_s
 
     def state_offsets(self, transition_times, time_deltas) -> jnp.ndarray:
@@ -318,7 +318,7 @@ class Product(StationaryKernel):
     def transition_statistics(self, transition_times, time_deltas):
         a_s = self.state_transitions(transition_times, time_deltas)
         p_inf = self.steady_state_covariance.astype(a_s.dtype)
-        q_s = p_inf - a_s @ p_inf @ transpose_last(a_s)
+        q_s = p_inf - matmul_small(matmul_small(a_s, p_inf), transpose_last(a_s))
         return a_s, q_s
 
     def state_offsets(self, transition_times, time_deltas):

@@ -36,7 +36,7 @@ import jax.numpy as jnp
 from jax import lax
 
 from ..ssm.state_space_model import StateSpaceModel
-from ..utils.linalg import chol_psd, solve_small, symmetrize, transpose_last
+from ..utils.linalg import chol_psd, matmul_small, solve_small, symmetrize, transpose_last
 
 __all__ = [
     "FilterResult",
@@ -607,10 +607,10 @@ def posterior_ssm_from_smoothed(
 
     s_k = s[..., :-1, :, :] + jitter * eye
     s_next = s[..., 1:, :, :]
-    cross = e @ s_next  # Cov(x_k, x_{k+1}|y)
+    cross = matmul_small(e, s_next)  # Cov(x_k, x_{k+1}|y)
     a_post = transpose_last(_solve(s_k, cross))
     b_post = m[..., 1:, :] - jnp.einsum("...ij,...j->...i", a_post, m[..., :-1, :])
-    q_post = symmetrize(s_next - a_post @ cross)
+    q_post = symmetrize(s_next - matmul_small(a_post, cross))
     chol_q = chol_psd(q_post + jitter * eye)
     return StateSpaceModel(
         initial_mean=m[..., 0, :],

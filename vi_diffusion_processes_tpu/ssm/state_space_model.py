@@ -34,6 +34,7 @@ from ..utils.linalg import (
     chol_psd,
     cho_solve,
     gaussian_kl,
+    matmul_small,
     mvn_logpdf,
     transpose_last,
     tri_solve,
@@ -100,7 +101,7 @@ class StateSpaceModel:
     @property
     def process_covariances(self) -> jnp.ndarray:
         l = self.chol_process_covariances
-        return l @ transpose_last(l)
+        return matmul_small(l, transpose_last(l))
 
     @property
     def concatenated_cholesky_process_covariance(self) -> jnp.ndarray:

@@ -76,11 +76,87 @@ def tri_solve(l: jnp.ndarray, b: jnp.ndarray, *, transpose: bool = False) -> jnp
     )
 
 
+#: unrolled scalar-channel ceiling for chol/matmul: beyond this the
+#: O(d³) unrolled expression graph stops paying for itself
+_UNROLL_MAX_DIM = 8
+
+
 def chol_psd(x: jnp.ndarray) -> jnp.ndarray:
-    """Cholesky with a scalar fast path (``sqrt`` for 1×1 blocks)."""
-    if x.shape[-1] == 1:
+    """Cholesky with small-``d`` fast paths.
+
+    ``d == 1`` short-circuits to ``sqrt``; ``2 ≤ d ≤ 8`` uses an unrolled
+    scalar-channel Cholesky.  The XLA ``Cholesky`` custom call on stacks of
+    tiny blocks is catastrophically slow on TPU (measured 22 ms for
+    ``f32[1e5,2,2]`` — half the GPR d=2 step), and ``[N,d,d]`` stacks
+    tile-pad up to 64×; the unrolled form is pure VPU arithmetic on ``[N]``
+    channels.  Non-PD inputs produce NaNs exactly like
+    ``jnp.linalg.cholesky`` (callers mask zero blocks, see
+    ``ssm_from_covariances``).
+    """
+    d = x.shape[-1]
+    if d == 1:
         return jnp.sqrt(x)
+    if d <= _UNROLL_MAX_DIM:
+        return _chol_unrolled(x)
     return jnp.linalg.cholesky(x)
+
+
+def _chol_unrolled(x: jnp.ndarray) -> jnp.ndarray:
+    """Unrolled Cholesky–Crout on scalar channels (static ``d``).
+
+    Symmetrizes the input like ``jnp.linalg.cholesky`` (lax ``cholesky``
+    defaults to ``symmetrize_input=True``) — natgrad produces asymmetric
+    precision blocks whose symmetric part is PD, and factoring the raw
+    lower triangle NaNs where the XLA op succeeds.
+    """
+    d = x.shape[-1]
+    c = [
+        [0.5 * (x[..., i, j] + x[..., j, i]) if i != j else x[..., i, i] for j in range(d)]
+        for i in range(d)
+    ]
+    l = [[None] * d for _ in range(d)]
+    for j in range(d):
+        s = c[j][j]
+        for k in range(j):
+            s = s - l[j][k] * l[j][k]
+        ljj = jnp.sqrt(s)
+        l[j][j] = ljj
+        inv = 1.0 / ljj
+        for i in range(j + 1, d):
+            s = c[i][j]
+            for k in range(j):
+                s = s - l[i][k] * l[j][k]
+            l[i][j] = s * inv
+    zero = jnp.zeros_like(c[0][0])
+    rows = [
+        jnp.stack([l[i][j] if j <= i else zero for j in range(d)], axis=-1)
+        for i in range(d)
+    ]
+    return jnp.stack(rows, axis=-2)
+
+
+def matmul_small(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Batched matmul over the last two axes, unrolled for tiny blocks.
+
+    XLA lowers batched ``[N,d,d] @ [N,d,d]`` matmuls to convolution
+    fusions that are bound by the 64× tile padding of the operands
+    (~1 ms each at N=1e5, d=2 on v5e); the unrolled scalar-channel sum is
+    ~10× faster.  Falls back to ``@`` beyond ``d = 8``.
+    """
+    m, k = a.shape[-2], a.shape[-1]
+    k2, n = b.shape[-2], b.shape[-1]
+    if max(m, k, n) > _UNROLL_MAX_DIM:
+        return a @ b
+    rows = []
+    for i in range(m):
+        cols = []
+        for j in range(n):
+            s = a[..., i, 0] * b[..., 0, j]
+            for p in range(1, k):
+                s = s + a[..., i, p] * b[..., p, j]
+            cols.append(s)
+        rows.append(jnp.stack(cols, axis=-1))
+    return jnp.stack(rows, axis=-2)
 
 
 def solve_small(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
@@ -114,7 +190,7 @@ def _solve2(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     adj = jnp.stack(
         [jnp.stack([a11, -a01], axis=-1), jnp.stack([-a10, a00], axis=-1)], axis=-2
     )
-    return (adj @ b) / det
+    return matmul_small(adj, b) / det
 
 
 def _solve3(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
@@ -124,7 +200,7 @@ def _solve3(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     )  # rows: cofactor rows of aᵀ
     det = jnp.sum(a[..., 0, :] * c[..., 0, :], axis=-1)[..., None, None]
     adj = jnp.swapaxes(c, -1, -2)
-    return (adj @ b) / det
+    return matmul_small(adj, b) / det
 
 
 def qr_solve(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
