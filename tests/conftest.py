@@ -67,8 +67,10 @@ def batch_shape(request):
     return request.param
 
 
-@pytest.fixture(params=[1, 3], ids=["d1", "d3"])
+@pytest.fixture(params=[1, 2, 3], ids=["d1", "d2", "d3"])
 def state_dim(request):
+    """d=2 included deliberately: the adjugate/channelized fast paths have
+    dedicated d=2 code (ops/chmat.py) that the endpoints don't exercise."""
     return request.param
 
 
