@@ -124,3 +124,36 @@ def test_serving_export_roundtrip(rng, tmp_path):
     ref_mu, ref_var = model.posterior.predict_f(t_new)
     np.testing.assert_allclose(f_mu, ref_mu, rtol=1e-12)
     np.testing.assert_allclose(f_var, ref_var, rtol=1e-12)
+
+
+def test_pairwise_marginals_vs_dense(rng):
+    """pairwise_marginals (conditionals.py:424-485): each consecutive-pair
+    joint [m_k; m_{k+1}], [[P_k, C'],[C, P_{k+1}]] must match the dense
+    joint covariance of the chain."""
+    import jax.numpy as jnp
+    from vi_diffusion_processes_tpu.ssm.conditionals import pairwise_marginals
+    from vi_diffusion_processes_tpu.ssm.state_space_model import StateSpaceModel
+    from ..tools.oracles import random_ssm_params
+
+    n, d = 5, 2
+    params = random_ssm_params(rng, (), n, d)
+    ssm = StateSpaceModel(**{k: jnp.asarray(v) for k, v in params.items()})
+    mean, cov = dense_joint_from_ssm(params)
+
+    p0 = params["chol_initial_covariance"] @ params["chol_initial_covariance"].T
+    jm, jc = pairwise_marginals(ssm, jnp.asarray(params["initial_mean"]), jnp.asarray(p0))
+    assert jm.shape == (n + 2, 2 * d) and jc.shape == (n + 2, 2 * d, 2 * d)
+
+    # interior entries k=1..n: joint of (x_{k-1}, x_k) — dense blocks
+    for k in range(1, n + 1):
+        i, j = (k - 1) * d, k * d
+        np.testing.assert_allclose(jm[k, :d], mean[i : i + d], rtol=1e-9)
+        np.testing.assert_allclose(jm[k, d:], mean[j : j + d], rtol=1e-9)
+        np.testing.assert_allclose(jc[k, :d, :d], cov[i : i + d, i : i + d], rtol=1e-8)
+        np.testing.assert_allclose(jc[k, d:, d:], cov[j : j + d, j : j + d], rtol=1e-8)
+        np.testing.assert_allclose(jc[k, d:, :d], cov[j : j + d, i : i + d], rtol=1e-8, atol=1e-12)
+    # boundary entries use the prior-extension convention: marginal blocks
+    # on the diagonal, zero cross-covariance
+    np.testing.assert_allclose(jc[0, :d, :d], p0, rtol=1e-9)
+    np.testing.assert_allclose(jc[0, d:, :d], 0.0, atol=1e-14)
+    np.testing.assert_allclose(jc[-1, d:, d:], p0, rtol=1e-9)
