@@ -189,7 +189,7 @@ def test_filter_smoother_blocked_matches_small_path():
     orig = bs.blocked_assoc_scan
     try:
         bs.blocked_assoc_scan = (
-            lambda fn, elems, identity, reverse=False, num_blocks=None:
+            lambda fn, elems, identity, reverse=False, num_blocks=None, cross_recurse=None:
             lax.associative_scan(fn, tuple(elems), reverse=reverse)
         )
         filt_ref, smooth_ref = filter_smoother_with_sites(ssm, nat1, prec)
@@ -253,3 +253,22 @@ def test_naturals_to_ssm_d2_parallel_dispatch():
     np.testing.assert_allclose(a1, a2, rtol=1e-4, atol=1e-6)
     np.testing.assert_allclose(b1, b2, rtol=1e-4, atol=1e-6)
     np.testing.assert_allclose(q1, q2, rtol=1e-4, atol=1e-8)
+
+
+@pytest.mark.parametrize("name", list(CASES))
+@pytest.mark.parametrize("n", [150, 1000, 5003])
+@pytest.mark.parametrize("reverse", [False, True])
+def test_cross_recurse_matches_lax(name, n, reverse):
+    """Two-level cross-window pass (cross_recurse=True, used for d ≥ 4
+    channel scans) must be exactly associative-scan-equivalent."""
+    fn, ident, width = CASES[name]
+    rng = np.random.default_rng(5)
+    elems = tuple(
+        jnp.asarray(rng.uniform(0.5, 1.5, size=n)) for _ in range(width)
+    )
+    want = lax.associative_scan(lambda a, b: fn(a, b), elems, reverse=reverse)
+    got = blocked_assoc_scan(
+        fn, elems, identity=ident, reverse=reverse, num_blocks=512, cross_recurse=True
+    )
+    for w, g in zip(want, got):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(w), rtol=1e-12)

@@ -42,6 +42,14 @@ def _apply(fn, a, b):
 DEFAULT_NUM_BLOCKS = 4096
 
 
+#: windows above this trigger a recursive (two-level) cross-window pass:
+#: ``lax.associative_scan`` instantiates the combine ~2·log₂(nb) times plus
+#: per-level slice/pad trees, which dominates *compile* time for large
+#: combine bodies (d ≥ 4 channel algebra).  Recursing once replaces the
+#: 4096-leaf tree with a 64-step vectorized scan + a 64-leaf tree.
+_CROSS_RECURSE_ABOVE = 128
+
+
 def blocked_assoc_scan(
     fn: Callable,
     elems: Sequence[jnp.ndarray],
@@ -49,6 +57,7 @@ def blocked_assoc_scan(
     *,
     reverse: bool = False,
     num_blocks: int = None,
+    cross_recurse: bool = None,
 ) -> Tuple[jnp.ndarray, ...]:
     """Inclusive associative scan over the leading axis of rank-1 channels.
 
@@ -96,11 +105,21 @@ def blocked_assoc_scan(
         new = _apply(fn, carry, row)
         return new, new
 
+    def cross(agg):
+        """Inclusive scan of the nb window aggregates."""
+        if cross_recurse and nb > _CROSS_RECURSE_ABOVE:
+            return blocked_assoc_scan(
+                fn, agg, identity, reverse=reverse, num_blocks=64, cross_recurse=False
+            )
+        return lax.associative_scan(
+            lambda a, b: _apply(fn, a, b), agg, reverse=reverse
+        )
+
     if reverse:
         # carry = suffix accumulated over LATER rows; fn(carry, row)
         agg, within = lax.scan(step, ident_rows, tuple(cols), reverse=True)
         # exclusive suffix of the LATER windows (tiny: nb elements)
-        incl = lax.associative_scan(lambda a, b: _apply(fn, a, b), agg, reverse=True)
+        incl = cross(agg)
         boundary = tuple(
             jnp.concatenate([a[1:], ident_block(iv, a, rest, 1)])
             for iv, a, rest in zip(identity, incl, rests)
@@ -109,7 +128,7 @@ def blocked_assoc_scan(
     else:
         agg, within = lax.scan(step, ident_rows, tuple(cols))
         # exclusive prefix of the EARLIER windows
-        incl = lax.associative_scan(lambda a, b: _apply(fn, a, b), agg)
+        incl = cross(agg)
         boundary = tuple(
             jnp.concatenate([ident_block(iv, a, rest, 1), a[:-1]])
             for iv, a, rest in zip(identity, incl, rests)

@@ -384,9 +384,68 @@ def udu_channels(kd_ch, b_ch):
             + (out_id,)
         )
 
+    def compose_array(x, y):
+        """Array-channel compose for d ≥ 4: identical math on packed
+        ``[d, d, nb]`` operands (ops/achmat.py) — keeps the per-compose HLO
+        O(d²) instead of O(d³) so the scan graph stays compilable."""
+        from . import achmat as am
+
+        def aunpack(f):
+            return (
+                am.pack_mat(f[:dd], d),
+                am.pack_mat(f[dd : 2 * dd], d),
+                am.pack_mat(f[2 * dd : 3 * dd], d),
+                f[3 * dd],
+            )
+
+        a_r, b_r, c_r, id_r = aunpack(x)
+        a_l, b_l, c_l, id_l = aunpack(y)
+        m_inv = am.ainv_pd(c_l + a_r, guarded=True)
+        blm = am.amm(b_l, m_inv)
+        a_new = a_l - am.amm(blm, am.amt(b_l))
+        b_new = -am.amm(blm, b_r)
+        c_new = c_r - am.amm(am.amt(b_r), am.amm(m_inv, b_r))
+
+        def sel(id_other, real, fallback):
+            return jnp.where(id_other > 0.5, fallback, real)
+
+        out_a = sel(id_l, sel(id_r, a_new, a_l), a_r)
+        out_b = sel(id_l, sel(id_r, b_new, b_l), b_r)
+        out_c = sel(id_l, sel(id_r, c_new, c_l), c_r)
+        out_id = id_l * id_r
+        return (
+            am.unpack_mat(out_a)
+            + am.unpack_mat(out_b)
+            + am.unpack_mat(out_c)
+            + (out_id,)
+        )
+
+    if d >= 4:
+        compose = compose_array
+
     ident = (0.0,) * (3 * dd) + (1.0,)
-    out = blocked_assoc_scan(compose, flat, identity=ident, reverse=True)
+    out = blocked_assoc_scan(
+        compose, flat, identity=ident, reverse=True, cross_recurse=d >= 4
+    )
     a_s, b_s, c_s, _ = unpack(out)
+
+    if d >= 4:
+        # array-channel post-processing (O(d²) graph — see compose_array)
+        from . import achmat as am
+
+        a_a = am.pack_mat(cm.flatten_mat(a_s), d)
+        b_a = am.pack_mat(cm.flatten_mat(b_s), d)
+        c_a = am.pack_mat(cm.flatten_mat(c_s), d)
+        kd_a = am.pack_mat(cm.flatten_mat(kd_ch), d)
+        bch_a = am.pack_mat(cm.flatten_mat(b_ch), d)
+        # D_k = K_kk + A_k − B_k C_k⁻¹ B_kᵀ for k < N-1;  D_{N-1} = K_{N-1,N-1}
+        corr = am.amm(b_a, am.amm(am.ainv_pd(c_a), am.amt(b_a)))
+        d_head = am.asym(kd_a[:, :, :-1] + a_a - corr)
+        d_blocks_a = jnp.concatenate([d_head, kd_a[:, :, -1:]], axis=-1)
+        u_super_a = am.amm(am.amt(bch_a), am.ainv_pd(d_blocks_a[:, :, 1:]))
+        d_blocks_ch = cm.unflatten_mat(am.unpack_mat(d_blocks_a), d)
+        u_super_ch = cm.unflatten_mat(am.unpack_mat(u_super_a), d)
+        return d_blocks_ch, u_super_ch
 
     # D_k = K_kk + A_k − B_k C_k⁻¹ B_kᵀ for k < N-1;  D_{N-1} = K_{N-1,N-1}
     kd_head = tuple(tuple(kd_ch[i][j][:-1] for j in range(d)) for i in range(d))

@@ -263,9 +263,20 @@ def _elem_unpack(flat, d):
     return a, b, c, eta, j
 
 
+#: above this state dim, scan composes run on packed [d,d,nb] arrays
+#: (ops/achmat.py) instead of d² separate scalar channels — the tuple form's
+#: O(d³)-HLO matrix products make the d ≥ 4 graphs explode (161k-line HLO,
+#: ~45 min first TPU compile for the d=4 GPR grad at 100k); the array form
+#: keeps the per-compose graph O(d²) slices + O(1) vector ops
+ARRAY_COMPOSE_MIN_DIM = 4
+
+
 def _filter_compose_ch(d: int):
     """Channelized Lemma-7 composition (mirrors `_filter_compose`)."""
     from ..ops import chmat as cm
+
+    if d >= ARRAY_COMPOSE_MIN_DIM:
+        return _filter_compose_ach(d)
 
     def fn(x, y):
         a_i, b_i, c_i, eta_i, j_i = _elem_unpack(x, d)
@@ -284,18 +295,139 @@ def _filter_compose_ch(d: int):
     return fn
 
 
+def _filter_compose_ach(d: int):
+    """Array-channel Lemma-7 composition: identical math to
+    `_filter_compose_ch` on packed ``[d, d, nb]`` operands (achmat.py)."""
+    from ..ops import achmat as am
+
+    dd = d * d
+
+    def unpack(flat):
+        a = am.pack_mat(flat[:dd], d)
+        b = am.pack_vec(flat[dd : dd + d])
+        c = am.pack_mat(flat[dd + d : 2 * dd + d], d)
+        eta = am.pack_vec(flat[2 * dd + d : 2 * dd + 2 * d])
+        j = am.pack_mat(flat[2 * dd + 2 * d :], d)
+        return a, b, c, eta, j
+
+    def fn(x, y):
+        a_i, b_i, c_i, eta_i, j_i = unpack(x)
+        a_j, b_j, c_j, eta_j, j_j = unpack(y)
+        g = am.ainv_ipl(c_i, j_j)
+        ajg = am.amm(a_j, g)
+        a = am.amm(ajg, a_i)
+        b = am.amv(ajg, b_i + am.amv(c_i, eta_j)) + b_j
+        c = am.asym(am.amm(ajg, am.amm(c_i, am.amt(a_j))) + c_j)
+        ait_gt = am.amm(am.amt(a_i), am.amt(g))
+        eta = am.amv(ait_gt, eta_j - am.amv(j_j, b_i)) + eta_i
+        j = am.asym(am.amm(ait_gt, am.amm(j_j, a_i)) + j_i)
+        return (
+            am.unpack_mat(a)
+            + am.unpack_vec(b)
+            + am.unpack_mat(c)
+            + am.unpack_vec(eta)
+            + am.unpack_mat(j)
+        )
+
+    return fn
+
+
+def _to_ach_mat(x: jnp.ndarray) -> jnp.ndarray:
+    """``[N, d, d]`` (or ``[d, d]``) → algebra-leading ``[d, d, N]`` / ``[d, d]``."""
+    return jnp.moveaxis(x, (-2, -1), (0, 1))
+
+
+def _to_ach_vec(x: jnp.ndarray) -> jnp.ndarray:
+    return jnp.moveaxis(x, -1, 0)
+
+
+def _make_filter_elements_ach(ssm: StateSpaceModel, nat1, nat2_prec):
+    """Array-channel `_make_filter_elements_ch` (packed [d,d,N] algebra;
+    same math, O(d²)-ops graph — the tuple form's O(d³) element build
+    dominates the d ≥ 4 HLO)."""
+    from ..ops import achmat as am
+
+    d = ssm.state_dim
+    a = _to_ach_mat(ssm.state_transitions)  # [d, d, N]
+    b = _to_ach_vec(ssm.state_offsets)  # [d, N]
+    q = _to_ach_mat(ssm.process_covariances)
+    th = _to_ach_vec(nat1)  # [d, N+1]
+    lm = _to_ach_mat(nat2_prec)  # [d, d, N+1]
+
+    th0, th_r = th[:, 0], th[:, 1:]
+    lm0, lm_r = lm[:, :, 0], lm[:, :, 1:]
+
+    p0 = ssm.initial_covariance  # [d, d] — algebra-leading already
+    m0 = ssm.initial_mean  # [d]
+    ipl0_inv = am.ainv_ipl(p0, lm0)
+    c0 = am.asym(am.amm(ipl0_inv, p0))
+    b0 = am.amv(ipl0_inv, m0 + am.amv(p0, th0))
+
+    iql_inv = am.ainv_ipl(q, lm_r)  # (I + QΛ)⁻¹
+    a_star = am.amm(iql_inv, a)
+    b_star = am.amv(iql_inv, b + am.amv(q, th_r))
+    c_star = am.asym(am.amm(iql_inv, q))
+    ilq_inv = am.amt(iql_inv)  # (I+ΛQ)⁻¹ = (I+QΛ)⁻ᵀ
+    rhs = th_r - am.amv(lm_r, b)
+    eta_star = am.amv(am.amt(a), am.amv(ilq_inv, rhs))
+    j_star = am.asym(am.amm(am.amt(a), am.amm(ilq_inv, am.amm(lm_r, a))))
+
+    zm = jnp.zeros_like(p0)
+    zv = jnp.zeros_like(m0)
+    a_all = jnp.concatenate([zm[..., None], a_star], axis=-1)
+    b_all = jnp.concatenate([b0[..., None], b_star], axis=-1)
+    c_all = jnp.concatenate([c0[..., None], c_star], axis=-1)
+    eta_all = jnp.concatenate([zv[..., None], eta_star], axis=-1)
+    j_all = jnp.concatenate([zm[..., None], j_star], axis=-1)
+    return (
+        am.unpack_mat(a_all)
+        + am.unpack_vec(b_all)
+        + am.unpack_mat(c_all)
+        + am.unpack_vec(eta_all)
+        + am.unpack_mat(j_all)
+    )
+
+
 def _parallel_filter_ch(ssm: StateSpaceModel, nat1, nat2_prec) -> FilterResult:
     """Channelized parallel filter — everything on rank-1 [N] channels."""
     from ..ops import chmat as cm
     from ..ops.blocked_scan import blocked_assoc_scan
 
     d = ssm.state_dim
-    a_e, b_e, c_e, eta_e, j_e = _make_filter_elements_ch(ssm, nat1, nat2_prec)
-    flat = _elem_pack(a_e, b_e, c_e, eta_e, j_e)
+    if d >= ARRAY_COMPOSE_MIN_DIM:
+        flat = _make_filter_elements_ach(ssm, nat1, nat2_prec)
+    else:
+        a_e, b_e, c_e, eta_e, j_e = _make_filter_elements_ch(ssm, nat1, nat2_prec)
+        flat = _elem_pack(a_e, b_e, c_e, eta_e, j_e)
     eye_flat = tuple(1.0 if i == j else 0.0 for i in range(d) for j in range(d))
     ident = eye_flat + (0.0,) * d + (0.0,) * (d * d) + (0.0,) * d + (0.0,) * (d * d)
-    out = blocked_assoc_scan(_filter_compose_ch(d), flat, identity=ident)
+    out = blocked_assoc_scan(
+        _filter_compose_ch(d), flat, identity=ident,
+        cross_recurse=d >= ARRAY_COMPOSE_MIN_DIM,
+    )
     _, b_cum, c_cum, _, _ = _elem_unpack(out, d)
+
+    if d >= ARRAY_COMPOSE_MIN_DIM:
+        # array-channel prediction pass (O(d²) graph)
+        from ..ops import achmat as am
+
+        f_means = am.pack_vec(b_cum)  # [d, N+1]
+        f_covs = am.pack_mat(tuple(x for row in c_cum for x in row), d)
+        a = _to_ach_mat(ssm.state_transitions)
+        b = _to_ach_vec(ssm.state_offsets)
+        q = _to_ach_mat(ssm.process_covariances)
+        pm_rest = am.amv(a, f_means[:, :-1]) + b
+        pc_rest = am.amm(a, am.amm(f_covs[:, :, :-1], am.amt(a))) + q
+        pred_m = jnp.concatenate([ssm.initial_mean[:, None], pm_rest], axis=-1)
+        pred_p = jnp.concatenate(
+            [ssm.initial_covariance[..., None], pc_rest], axis=-1
+        )
+        return FilterResult(
+            means=jnp.moveaxis(f_means, 0, -1),
+            covs=jnp.moveaxis(f_covs, (0, 1), (-2, -1)),
+            pred_means=jnp.moveaxis(pred_m, 0, -1),
+            pred_covs=jnp.moveaxis(pred_p, (0, 1), (-2, -1)),
+        )
 
     f_means_ch = b_cum
     f_covs_ch = c_cum
@@ -382,6 +514,9 @@ def _smoother_compose_ch(d: int):
     the reverse-scan convention: first = later suffix, second = earlier)."""
     from ..ops import chmat as cm
 
+    if d >= ARRAY_COMPOSE_MIN_DIM:
+        return _smoother_compose_ach(d)
+
     dd = d * d
 
     def unpack(flat):
@@ -401,45 +536,96 @@ def _smoother_compose_ch(d: int):
     return fn
 
 
+def _smoother_compose_ach(d: int):
+    """Array-channel RTS compose (same math/operand convention as
+    `_smoother_compose_ch`, packed ``[d, d, nb]`` operands)."""
+    from ..ops import achmat as am
+
+    dd = d * d
+
+    def unpack(flat):
+        return (
+            am.pack_mat(flat[:dd], d),
+            am.pack_vec(flat[dd : dd + d]),
+            am.pack_mat(flat[dd + d :], d),
+        )
+
+    def fn(x, y):
+        e_j, g_j, l_j = unpack(x)  # later suffix
+        e_i, g_i, l_i = unpack(y)  # earlier element
+        gain = am.amm(e_i, e_j)
+        g = am.amv(e_i, g_j) + g_i
+        l = am.asym(am.amm(e_i, am.amm(l_j, am.amt(e_i))) + l_i)
+        return am.unpack_mat(gain) + am.unpack_vec(g) + am.unpack_mat(l)
+
+    return fn
+
+
 def _parallel_smoother_ch(ssm: StateSpaceModel, filt: FilterResult) -> SmootherResult:
     """Channelized RTS smoother — rank-1 [N] channels throughout."""
     from ..ops import chmat as cm
     from ..ops.blocked_scan import blocked_assoc_scan
 
     d = ssm.state_dim
-    a = cm.mat_to_ch(ssm.state_transitions)
-    b = cm.vec_to_ch(ssm.state_offsets)
-    fm = cm.vec_to_ch(filt.means)
-    fc = cm.mat_to_ch(filt.covs)
-    pc_next = cm.mat_to_ch(filt.pred_covs[..., 1:, :, :])
+    if d >= ARRAY_COMPOSE_MIN_DIM:
+        # array-channel element build (O(d²) graph)
+        from ..ops import achmat as am
 
-    fm_k = tuple(x[:-1] for x in fm)
-    fc_k = tuple(tuple(x[:-1] for x in row) for row in fc)
-
-    # E_k = P_k|k A_kᵀ (P_{k+1}^-)⁻¹ = ((P⁻)⁻¹ A P_k|k)ᵀ — P⁻ is PD
-    e_k = cm.mt(cm.msolve_pd(pc_next, cm.mm(a, fc_k)))
-    g_k = cm.vsub(fm_k, cm.mv(e_k, cm.vadd(cm.mv(a, fm_k), b)))
-    l_k = cm.sym(cm.msub(fc_k, cm.mm(e_k, cm.mm(a, fc_k))))
-
-    def cat_m(rest, last):
-        return tuple(
-            tuple(jnp.concatenate([rest[i][j], last[i][j][None]]) for j in range(d))
-            for i in range(d)
+        aa = _to_ach_mat(ssm.state_transitions)
+        bb = _to_ach_vec(ssm.state_offsets)
+        fm_a = _to_ach_vec(filt.means)  # [d, N+1]
+        fc_a = _to_ach_mat(filt.covs)  # [d, d, N+1]
+        pc_next_a = _to_ach_mat(filt.pred_covs[..., 1:, :, :])
+        fm_ka = fm_a[:, :-1]
+        fc_ka = fc_a[:, :, :-1]
+        # E_k = P_k|k A_kᵀ (P_{k+1}^-)⁻¹ = ((P⁻)⁻¹ A P_k|k)ᵀ — P⁻ is PD
+        e_ka = am.amt(am.amm(am.ainv_pd(pc_next_a), am.amm(aa, fc_ka)))
+        g_ka = fm_ka - am.amv(e_ka, am.amv(aa, fm_ka) + bb)
+        l_ka = am.asym(fc_ka - am.amm(e_ka, am.amm(aa, fc_ka)))
+        e_alla = jnp.concatenate([e_ka, jnp.zeros_like(e_ka[:, :, :1])], axis=-1)
+        g_alla = jnp.concatenate([g_ka, fm_a[:, -1:]], axis=-1)
+        l_alla = jnp.concatenate([l_ka, fc_a[:, :, -1:]], axis=-1)
+        flat = (
+            am.unpack_mat(e_alla) + am.unpack_vec(g_alla) + am.unpack_mat(l_alla)
         )
+        e_k = tuple(tuple(e_ka[i, j] for j in range(d)) for i in range(d))
+    else:
+        a = cm.mat_to_ch(ssm.state_transitions)
+        b = cm.vec_to_ch(ssm.state_offsets)
+        fm = cm.vec_to_ch(filt.means)
+        fc = cm.mat_to_ch(filt.covs)
+        pc_next = cm.mat_to_ch(filt.pred_covs[..., 1:, :, :])
 
-    def cat_v(rest, last):
-        return tuple(jnp.concatenate([rest[i], last[i][None]]) for i in range(d))
+        fm_k = tuple(x[:-1] for x in fm)
+        fc_k = tuple(tuple(x[:-1] for x in row) for row in fc)
 
-    fm_last = tuple(x[-1] for x in fm)
-    fc_last = tuple(tuple(x[-1] for x in row) for row in fc)
-    e_all = cat_m(e_k, cm.mzeros(d, fm_last[0]))
-    g_all = cat_v(g_k, fm_last)
-    l_all = cat_m(l_k, fc_last)
+        # E_k = P_k|k A_kᵀ (P_{k+1}^-)⁻¹ = ((P⁻)⁻¹ A P_k|k)ᵀ — P⁻ is PD
+        e_k = cm.mt(cm.msolve_pd(pc_next, cm.mm(a, fc_k)))
+        g_k = cm.vsub(fm_k, cm.mv(e_k, cm.vadd(cm.mv(a, fm_k), b)))
+        l_k = cm.sym(cm.msub(fc_k, cm.mm(e_k, cm.mm(a, fc_k))))
 
-    flat = cm.flatten_mat(e_all) + tuple(g_all) + cm.flatten_mat(l_all)
+        def cat_m(rest, last):
+            return tuple(
+                tuple(jnp.concatenate([rest[i][j], last[i][j][None]]) for j in range(d))
+                for i in range(d)
+            )
+
+        def cat_v(rest, last):
+            return tuple(jnp.concatenate([rest[i], last[i][None]]) for i in range(d))
+
+        fm_last = tuple(x[-1] for x in fm)
+        fc_last = tuple(tuple(x[-1] for x in row) for row in fc)
+        e_all = cat_m(e_k, cm.mzeros(d, fm_last[0]))
+        g_all = cat_v(g_k, fm_last)
+        l_all = cat_m(l_k, fc_last)
+
+        flat = cm.flatten_mat(e_all) + tuple(g_all) + cm.flatten_mat(l_all)
     eye_flat = tuple(1.0 if i == j else 0.0 for i in range(d) for j in range(d))
     ident = eye_flat + (0.0,) * d + (0.0,) * (d * d)
-    out = blocked_assoc_scan(_smoother_compose_ch(d), flat, identity=ident, reverse=True)
+    out = blocked_assoc_scan(
+        _smoother_compose_ch(d), flat, identity=ident, reverse=True,
+        cross_recurse=d >= ARRAY_COMPOSE_MIN_DIM,
+    )
     dd = d * d
     g_cum = tuple(out[dd : dd + d])
     l_cum = cm.unflatten_mat(out[dd + d :], d)
