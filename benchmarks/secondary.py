@@ -326,7 +326,7 @@ def cvi_dp_1m():
     _setup()
     import bench as flagship
 
-    dt, elbo = flagship.bench_tpu(1_000_000, n_steps=16, inner=8)
+    dt, elbo = flagship.bench_tpu(1_000_000, n_steps=128, inner=8)
     assert np.isfinite(elbo), f"1M-grid bench ELBO not finite: {elbo}"
     return {"metric": "cvi_dp_full_natgrad_step_1m_grid",
             "value": round(1 / dt, 2), "unit": "steps/sec"}
