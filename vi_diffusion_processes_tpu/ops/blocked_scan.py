@@ -28,7 +28,7 @@ from typing import Callable, Sequence, Tuple
 import jax.numpy as jnp
 from jax import lax, tree_util
 
-__all__ = ["blocked_assoc_scan"]
+__all__ = ["blocked_assoc_scan", "blocked_assoc_scan_packed"]
 
 
 def _apply(fn, a, b):
@@ -140,3 +140,73 @@ def blocked_assoc_scan(
         for o, rest in zip(out_rows, rests)
     )
     return tuple(o[:n] for o in out)
+
+
+def blocked_assoc_scan_packed(
+    fn: Callable,
+    elems: jnp.ndarray,
+    identity: Sequence,
+    *,
+    reverse: bool = False,
+    num_blocks: int = None,
+    cross_recurse: bool = True,
+) -> jnp.ndarray:
+    """Inclusive associative scan over the LAST axis of ONE packed ``[C, T]``
+    array (channel axis leading, data axis minormost).
+
+    Many-channel composes (the d ≥ 4 filter/smoother/UDU elements carry
+    ``C = O(d²)`` channels) pay a per-scan-step toll in the tuple form:
+    ``lax.scan`` slices each xs channel and updates each ys channel with its
+    own dynamic-(update-)slice — profiling the d=4 GPR grad at N=100k showed
+    ~17k ``dynamic_update_slice`` + ~28k sibling tiny ops per step (~1.6 µs
+    apiece on v5e), dwarfing the arithmetic.  Packing every channel into one
+    array makes it ONE slice + ONE update per step.
+
+    ``fn(a, b) -> [C, ...]`` must follow ``lax.associative_scan``'s operand
+    convention, treat axis 0 as the channel axis, and broadcast over any
+    trailing data shape (the boundary combine passes ``[C, 1, nb]`` against
+    ``[C, l, nb]``).  ``identity`` is a length-C sequence of scalars.
+    """
+    c, n = elems.shape
+    if n == 0:
+        return elems
+    if num_blocks is None:
+        num_blocks = DEFAULT_NUM_BLOCKS
+
+    nb = max(1, min(num_blocks, n))
+    l = -(-n // nb)
+    pad = nb * l - n
+
+    ident_col = jnp.asarray(list(identity), elems.dtype).reshape(c, 1)
+    ep = (
+        jnp.concatenate([elems, jnp.broadcast_to(ident_col, (c, pad))], axis=-1)
+        if pad
+        else elems
+    )
+    # window w = contiguous chunk [w*l, (w+1)*l); scan over within-window
+    # position, combining all nb windows per step on a single [C, nb] row
+    xs = jnp.moveaxis(ep.reshape(c, nb, l), -1, 0)  # [l, C, nb]
+    ident_rows = jnp.broadcast_to(ident_col, (c, nb))
+
+    def step(carry, row):
+        new = fn(carry, row)
+        return new, new
+
+    def cross(agg):
+        if cross_recurse and nb > _CROSS_RECURSE_ABOVE:
+            return blocked_assoc_scan_packed(
+                fn, agg, identity, reverse=reverse, num_blocks=64, cross_recurse=False
+            )
+        # axis must be nonnegative: lax.rev rejects negative dims under reverse
+        return lax.associative_scan(fn, agg, reverse=reverse, axis=agg.ndim - 1)
+
+    agg, within = lax.scan(step, ident_rows, xs, reverse=reverse)
+    incl = cross(agg)
+    if reverse:
+        boundary = jnp.concatenate([incl[:, 1:], ident_col], axis=-1)
+    else:
+        boundary = jnp.concatenate([ident_col, incl[:, :-1]], axis=-1)
+    within_t = jnp.moveaxis(within, 0, 1)  # [C, l, nb]
+    out = fn(boundary[:, None, :], within_t)  # broadcast over l
+    out = jnp.moveaxis(out, -1, 1).reshape(c, nb * l)
+    return out[:, :n]

@@ -385,16 +385,19 @@ def udu_channels(kd_ch, b_ch):
         )
 
     def compose_array(x, y):
-        """Array-channel compose for d ≥ 4: identical math on packed
-        ``[d, d, nb]`` operands (ops/achmat.py) — keeps the per-compose HLO
-        O(d²) instead of O(d³) so the scan graph stays compilable."""
+        """Array-channel compose for d ≥ 4: identical math on ONE packed
+        ``[3d²+1, ...]`` operand (ops/achmat.py) — O(d²) HLO per compose so
+        the scan graph stays compilable, and a single array per scan step so
+        the blocked scan does one slice/update per step instead of 3d²+1
+        (see blocked_assoc_scan_packed)."""
         from . import achmat as am
 
         def aunpack(f):
+            rest = f.shape[1:]
             return (
-                am.pack_mat(f[:dd], d),
-                am.pack_mat(f[dd : 2 * dd], d),
-                am.pack_mat(f[2 * dd : 3 * dd], d),
+                f[:dd].reshape((d, d) + rest),
+                f[dd : 2 * dd].reshape((d, d) + rest),
+                f[2 * dd : 3 * dd].reshape((d, d) + rest),
                 f[3 * dd],
             )
 
@@ -412,30 +415,27 @@ def udu_channels(kd_ch, b_ch):
         out_a = sel(id_l, sel(id_r, a_new, a_l), a_r)
         out_b = sel(id_l, sel(id_r, b_new, b_l), b_r)
         out_c = sel(id_l, sel(id_r, c_new, c_l), c_r)
-        out_id = id_l * id_r
-        return (
-            am.unpack_mat(out_a)
-            + am.unpack_mat(out_b)
-            + am.unpack_mat(out_c)
-            + (out_id,)
+        out_id = (id_l * id_r) * jnp.ones_like(out_a[0, 0])
+        rest = out_id.shape
+        return jnp.concatenate(
+            [out_a.reshape((dd,) + rest), out_b.reshape((dd,) + rest),
+             out_c.reshape((dd,) + rest), out_id[None]],
+            axis=0,
         )
 
-    if d >= 4:
-        compose = compose_array
-
     ident = (0.0,) * (3 * dd) + (1.0,)
-    out = blocked_assoc_scan(
-        compose, flat, identity=ident, reverse=True, cross_recurse=d >= 4
-    )
-    a_s, b_s, c_s, _ = unpack(out)
-
     if d >= 4:
-        # array-channel post-processing (O(d²) graph — see compose_array)
         from . import achmat as am
+        from .blocked_scan import blocked_assoc_scan_packed
 
-        a_a = am.pack_mat(cm.flatten_mat(a_s), d)
-        b_a = am.pack_mat(cm.flatten_mat(b_s), d)
-        c_a = am.pack_mat(cm.flatten_mat(c_s), d)
+        n_el = flat[0].shape[0]
+        packed = jnp.stack(flat)  # [3dd+1, N-1] — rank-1 channels
+        out_p = blocked_assoc_scan_packed(
+            compose_array, packed, identity=ident, reverse=True
+        )
+        a_a = out_p[:dd].reshape(d, d, n_el)
+        b_a = out_p[dd : 2 * dd].reshape(d, d, n_el)
+        c_a = out_p[2 * dd : 3 * dd].reshape(d, d, n_el)
         kd_a = am.pack_mat(cm.flatten_mat(kd_ch), d)
         bch_a = am.pack_mat(cm.flatten_mat(b_ch), d)
         # D_k = K_kk + A_k − B_k C_k⁻¹ B_kᵀ for k < N-1;  D_{N-1} = K_{N-1,N-1}
@@ -446,6 +446,9 @@ def udu_channels(kd_ch, b_ch):
         d_blocks_ch = cm.unflatten_mat(am.unpack_mat(d_blocks_a), d)
         u_super_ch = cm.unflatten_mat(am.unpack_mat(u_super_a), d)
         return d_blocks_ch, u_super_ch
+
+    out = blocked_assoc_scan(compose, flat, identity=ident, reverse=True)
+    a_s, b_s, c_s, _ = unpack(out)
 
     # D_k = K_kk + A_k − B_k C_k⁻¹ B_kᵀ for k < N-1;  D_{N-1} = K_{N-1,N-1}
     kd_head = tuple(tuple(kd_ch[i][j][:-1] for j in range(d)) for i in range(d))

@@ -272,11 +272,11 @@ ARRAY_COMPOSE_MIN_DIM = 4
 
 
 def _filter_compose_ch(d: int):
-    """Channelized Lemma-7 composition (mirrors `_filter_compose`)."""
-    from ..ops import chmat as cm
+    """Channelized Lemma-7 composition (mirrors `_filter_compose`).
 
-    if d >= ARRAY_COMPOSE_MIN_DIM:
-        return _filter_compose_ach(d)
+    Tuple-of-scalar-channels form, d ≤ 3 only; d ≥ 4 goes through the packed
+    `_filter_compose_ach` + `blocked_assoc_scan_packed` path."""
+    from ..ops import chmat as cm
 
     def fn(x, y):
         a_i, b_i, c_i, eta_i, j_i = _elem_unpack(x, d)
@@ -295,24 +295,40 @@ def _filter_compose_ch(d: int):
     return fn
 
 
+def _unpack_filter_elem_packed(x: jnp.ndarray, d: int):
+    """Packed ``[C, ...]`` filter element → (a, b, c, eta, j) array-channel
+    views (static slices + reshapes — free under XLA fusion)."""
+    dd = d * d
+    rest = x.shape[1:]
+    a = x[:dd].reshape((d, d) + rest)
+    b = x[dd : dd + d]
+    c = x[dd + d : 2 * dd + d].reshape((d, d) + rest)
+    eta = x[2 * dd + d : 2 * dd + 2 * d]
+    j = x[2 * dd + 2 * d :].reshape((d, d) + rest)
+    return a, b, c, eta, j
+
+
+def _pack_filter_elem(a, b, c, eta, j, d: int) -> jnp.ndarray:
+    dd = d * d
+    rest = b.shape[1:]
+    return jnp.concatenate(
+        [a.reshape((dd,) + rest), b, c.reshape((dd,) + rest), eta,
+         j.reshape((dd,) + rest)],
+        axis=0,
+    )
+
+
 def _filter_compose_ach(d: int):
-    """Array-channel Lemma-7 composition: identical math to
-    `_filter_compose_ch` on packed ``[d, d, nb]`` operands (achmat.py)."""
+    """Array-channel Lemma-7 composition on ONE packed ``[C, ...]`` operand
+    (C = 3d² + 2d channels; same math as `_filter_compose_ch`).  Keeping the
+    whole element a single array lets the blocked scan slice/update ONE
+    buffer per step — the tuple form cost ~17k dynamic_update_slice ops per
+    d=4 GPR grad step (see ops/blocked_scan.py::blocked_assoc_scan_packed)."""
     from ..ops import achmat as am
 
-    dd = d * d
-
-    def unpack(flat):
-        a = am.pack_mat(flat[:dd], d)
-        b = am.pack_vec(flat[dd : dd + d])
-        c = am.pack_mat(flat[dd + d : 2 * dd + d], d)
-        eta = am.pack_vec(flat[2 * dd + d : 2 * dd + 2 * d])
-        j = am.pack_mat(flat[2 * dd + 2 * d :], d)
-        return a, b, c, eta, j
-
     def fn(x, y):
-        a_i, b_i, c_i, eta_i, j_i = unpack(x)
-        a_j, b_j, c_j, eta_j, j_j = unpack(y)
+        a_i, b_i, c_i, eta_i, j_i = _unpack_filter_elem_packed(x, d)
+        a_j, b_j, c_j, eta_j, j_j = _unpack_filter_elem_packed(y, d)
         g = am.ainv_ipl(c_i, j_j)
         ajg = am.amm(a_j, g)
         a = am.amm(ajg, a_i)
@@ -321,13 +337,7 @@ def _filter_compose_ach(d: int):
         ait_gt = am.amm(am.amt(a_i), am.amt(g))
         eta = am.amv(ait_gt, eta_j - am.amv(j_j, b_i)) + eta_i
         j = am.asym(am.amm(ait_gt, am.amm(j_j, a_i)) + j_i)
-        return (
-            am.unpack_mat(a)
-            + am.unpack_vec(b)
-            + am.unpack_mat(c)
-            + am.unpack_vec(eta)
-            + am.unpack_mat(j)
-        )
+        return _pack_filter_elem(a, b, c, eta, j, d)
 
     return fn
 
@@ -379,13 +389,7 @@ def _make_filter_elements_ach(ssm: StateSpaceModel, nat1, nat2_prec):
     c_all = jnp.concatenate([c0[..., None], c_star], axis=-1)
     eta_all = jnp.concatenate([zv[..., None], eta_star], axis=-1)
     j_all = jnp.concatenate([zm[..., None], j_star], axis=-1)
-    return (
-        am.unpack_mat(a_all)
-        + am.unpack_vec(b_all)
-        + am.unpack_mat(c_all)
-        + am.unpack_vec(eta_all)
-        + am.unpack_mat(j_all)
-    )
+    return _pack_filter_elem(a_all, b_all, c_all, eta_all, j_all, d)
 
 
 def _parallel_filter_ch(ssm: StateSpaceModel, nat1, nat2_prec) -> FilterResult:
@@ -394,25 +398,28 @@ def _parallel_filter_ch(ssm: StateSpaceModel, nat1, nat2_prec) -> FilterResult:
     from ..ops.blocked_scan import blocked_assoc_scan
 
     d = ssm.state_dim
+    eye_flat = tuple(1.0 if i == j else 0.0 for i in range(d) for j in range(d))
+    ident = eye_flat + (0.0,) * d + (0.0,) * (d * d) + (0.0,) * d + (0.0,) * (d * d)
     if d >= ARRAY_COMPOSE_MIN_DIM:
-        flat = _make_filter_elements_ach(ssm, nat1, nat2_prec)
+        from ..ops.blocked_scan import blocked_assoc_scan_packed
+
+        packed = _make_filter_elements_ach(ssm, nat1, nat2_prec)
+        out_p = blocked_assoc_scan_packed(
+            _filter_compose_ach(d), packed, identity=ident
+        )
+        _, b_cum_a, c_cum_a, _, _ = _unpack_filter_elem_packed(out_p, d)
     else:
         a_e, b_e, c_e, eta_e, j_e = _make_filter_elements_ch(ssm, nat1, nat2_prec)
         flat = _elem_pack(a_e, b_e, c_e, eta_e, j_e)
-    eye_flat = tuple(1.0 if i == j else 0.0 for i in range(d) for j in range(d))
-    ident = eye_flat + (0.0,) * d + (0.0,) * (d * d) + (0.0,) * d + (0.0,) * (d * d)
-    out = blocked_assoc_scan(
-        _filter_compose_ch(d), flat, identity=ident,
-        cross_recurse=d >= ARRAY_COMPOSE_MIN_DIM,
-    )
-    _, b_cum, c_cum, _, _ = _elem_unpack(out, d)
+        out = blocked_assoc_scan(_filter_compose_ch(d), flat, identity=ident)
+        _, b_cum, c_cum, _, _ = _elem_unpack(out, d)
 
     if d >= ARRAY_COMPOSE_MIN_DIM:
         # array-channel prediction pass (O(d²) graph)
         from ..ops import achmat as am
 
-        f_means = am.pack_vec(b_cum)  # [d, N+1]
-        f_covs = am.pack_mat(tuple(x for row in c_cum for x in row), d)
+        f_means = b_cum_a  # [d, N+1]
+        f_covs = c_cum_a  # [d, d, N+1]
         a = _to_ach_mat(ssm.state_transitions)
         b = _to_ach_vec(ssm.state_offsets)
         q = _to_ach_mat(ssm.process_covariances)
@@ -514,9 +521,6 @@ def _smoother_compose_ch(d: int):
     the reverse-scan convention: first = later suffix, second = earlier)."""
     from ..ops import chmat as cm
 
-    if d >= ARRAY_COMPOSE_MIN_DIM:
-        return _smoother_compose_ach(d)
-
     dd = d * d
 
     def unpack(flat):
@@ -537,17 +541,18 @@ def _smoother_compose_ch(d: int):
 
 
 def _smoother_compose_ach(d: int):
-    """Array-channel RTS compose (same math/operand convention as
-    `_smoother_compose_ch`, packed ``[d, d, nb]`` operands)."""
+    """Array-channel RTS compose on ONE packed ``[C, ...]`` operand
+    (C = 2d² + d; same math/operand convention as `_smoother_compose_ch`)."""
     from ..ops import achmat as am
 
     dd = d * d
 
-    def unpack(flat):
+    def unpack(x):
+        rest = x.shape[1:]
         return (
-            am.pack_mat(flat[:dd], d),
-            am.pack_vec(flat[dd : dd + d]),
-            am.pack_mat(flat[dd + d :], d),
+            x[:dd].reshape((d, d) + rest),
+            x[dd : dd + d],
+            x[dd + d :].reshape((d, d) + rest),
         )
 
     def fn(x, y):
@@ -556,7 +561,10 @@ def _smoother_compose_ach(d: int):
         gain = am.amm(e_i, e_j)
         g = am.amv(e_i, g_j) + g_i
         l = am.asym(am.amm(e_i, am.amm(l_j, am.amt(e_i))) + l_i)
-        return am.unpack_mat(gain) + am.unpack_vec(g) + am.unpack_mat(l)
+        rest = g.shape[1:]
+        return jnp.concatenate(
+            [gain.reshape((dd,) + rest), g, l.reshape((dd,) + rest)], axis=0
+        )
 
     return fn
 
@@ -585,10 +593,26 @@ def _parallel_smoother_ch(ssm: StateSpaceModel, filt: FilterResult) -> SmootherR
         e_alla = jnp.concatenate([e_ka, jnp.zeros_like(e_ka[:, :, :1])], axis=-1)
         g_alla = jnp.concatenate([g_ka, fm_a[:, -1:]], axis=-1)
         l_alla = jnp.concatenate([l_ka, fc_a[:, :, -1:]], axis=-1)
-        flat = (
-            am.unpack_mat(e_alla) + am.unpack_vec(g_alla) + am.unpack_mat(l_alla)
+
+        from ..ops.blocked_scan import blocked_assoc_scan_packed
+
+        dd = d * d
+        n_all = g_alla.shape[-1]
+        packed = jnp.concatenate(
+            [e_alla.reshape(dd, n_all), g_alla, l_alla.reshape(dd, n_all)], axis=0
         )
-        e_k = tuple(tuple(e_ka[i, j] for j in range(d)) for i in range(d))
+        eye_flat = tuple(1.0 if i == j else 0.0 for i in range(d) for j in range(d))
+        ident = eye_flat + (0.0,) * d + (0.0,) * dd
+        out_p = blocked_assoc_scan_packed(
+            _smoother_compose_ach(d), packed, identity=ident, reverse=True
+        )
+        g_cum_a = out_p[dd : dd + d]
+        l_cum_a = out_p[dd + d :].reshape(d, d, n_all)
+        return SmootherResult(
+            means=jnp.moveaxis(g_cum_a, 0, -1),
+            covs=jnp.moveaxis(l_cum_a, (0, 1), (-2, -1)),
+            gains=jnp.moveaxis(e_ka, (0, 1), (-2, -1)),
+        )
     else:
         a = cm.mat_to_ch(ssm.state_transitions)
         b = cm.vec_to_ch(ssm.state_offsets)
@@ -623,8 +647,7 @@ def _parallel_smoother_ch(ssm: StateSpaceModel, filt: FilterResult) -> SmootherR
     eye_flat = tuple(1.0 if i == j else 0.0 for i in range(d) for j in range(d))
     ident = eye_flat + (0.0,) * d + (0.0,) * (d * d)
     out = blocked_assoc_scan(
-        _smoother_compose_ch(d), flat, identity=ident, reverse=True,
-        cross_recurse=d >= ARRAY_COMPOSE_MIN_DIM,
+        _smoother_compose_ch(d), flat, identity=ident, reverse=True
     )
     dd = d * d
     g_cum = tuple(out[dd : dd + d])
