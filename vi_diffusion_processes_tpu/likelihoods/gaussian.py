@@ -10,7 +10,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 from flax import struct
 
-from ..utils.linalg import mvn_logpdf, transpose_last, tri_solve
+from ..utils.linalg import chol_psd, mvn_logpdf, transpose_last, tri_solve
 from .base import Likelihood
 
 __all__ = ["Gaussian", "MultivariateGaussian"]
@@ -89,7 +89,7 @@ class MultivariateGaussian(Likelihood):
         else:
             s = f_covs
         cov = self.chol_covariance @ transpose_last(self.chol_covariance) + s
-        return mvn_logpdf(y, f_means, jnp.linalg.cholesky(cov))
+        return mvn_logpdf(y, f_means, chol_psd(cov))
 
     def predict_mean_and_var(self, f_means, f_covs):
         cov = self.chol_covariance @ transpose_last(self.chol_covariance)

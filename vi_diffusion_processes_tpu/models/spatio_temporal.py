@@ -18,7 +18,7 @@ from ..kernels.spatio_temporal import SparseSpatioTemporalKernel
 from ..ssm.conditionals import conditional_statistics
 from ..ssm.state_space_model import StateSpaceModel
 from ..ssm.transforms import naturals_to_ssm
-from ..utils.linalg import transpose_last, tri_solve
+from ..utils.linalg import chol_psd, transpose_last, tri_solve
 from .posterior import ConditionalProcess
 
 __all__ = [
@@ -69,7 +69,7 @@ class _SpatioTemporalMixin:
         (spatio_temporal_variational.py:149-180)."""
         x, t = inputs[..., :-1], inputs[..., -1]
         mean_u, cov_u = self.posterior.predict_f(t, full_output_cov=True)
-        chol_cov_u = jnp.linalg.cholesky(
+        chol_cov_u = chol_psd(
             cov_u + 1e-10 * jnp.eye(cov_u.shape[-1], dtype=cov_u.dtype)
         )
         ks = self.kernel.kernel_space

@@ -23,7 +23,7 @@ from .sites import (
 
 from ..ssm.emission import EmissionModel
 from ..ssm.state_space_model import StateSpaceModel
-from ..utils.linalg import solve_small
+from ..utils.linalg import chol_psd, solve_small
 from .pskf import (
     filter_smoother_with_sites,
     parallel_filter,
@@ -113,7 +113,7 @@ class KalmanFilterWithSparseSites:
         log_z = site_log_normalizer(filt, nat1, nat2)
         m = self.sites.nat2.shape[-1]
         site_prec_f = -2.0 * self.sites.nat2
-        chol = jnp.linalg.cholesky(site_prec_f)
+        chol = chol_psd(site_prec_f)
         alpha = solve_small(site_prec_f, self.sites.nat1[..., None])[..., 0]
         quad = jnp.einsum("...i,...i->...", self.sites.nat1, alpha)
         logdet = 2.0 * jnp.sum(

@@ -12,7 +12,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ssm.state_space_model import StateSpaceModel
-from ..utils.linalg import cho_solve, transpose_last
+from ..utils.linalg import chol_psd, cho_solve, transpose_last
 from .pskf import parallel_filter, site_log_normalizer
 
 __all__ = ["GaussianSites", "back_project_nats", "sites_log_likelihood", "gaussian_observation_sites"]
@@ -58,7 +58,7 @@ def sites_log_likelihood(dist_p: StateSpaceModel, sites: GaussianSites, emission
 
     m = sites.nat2.shape[-1]
     site_prec_f = -2.0 * sites.nat2  # [..., N, m, m], PD
-    chol = jnp.linalg.cholesky(site_prec_f)
+    chol = chol_psd(site_prec_f)
     alpha = jax.scipy.linalg.cho_solve((chol, True), sites.nat1[..., None])[..., 0]
     quad = jnp.einsum("...i,...i->...", sites.nat1, alpha)
     logdet = 2.0 * jnp.sum(

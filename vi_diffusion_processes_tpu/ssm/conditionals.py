@@ -19,7 +19,7 @@ from typing import Optional, Tuple
 import jax.numpy as jnp
 
 from ..config import APPROX_INF
-from ..utils.linalg import transpose_last, tri_solve
+from ..utils.linalg import chol_psd, transpose_last, tri_solve
 from .state_space_model import StateSpaceModel
 
 __all__ = [
@@ -46,7 +46,7 @@ def _conditional_statistics_from_transitions(a_mt, q_mt, a_tp, q_tp):
     # jitter: deterministic state components (Q = 0, e.g. Constant/Harmonic
     # kernels) make Q₋₊ singular
     eye = jnp.eye(q_mp.shape[-1], dtype=q_mp.dtype)
-    chol = jnp.linalg.cholesky(q_mp + default_jitter() * eye)
+    chol = chol_psd(q_mp + default_jitter() * eye)
     linv_atp_qmt = tri_solve(chol, a_tp_q_mt)
     e = transpose_last(tri_solve(chol, linv_atp_qmt, transpose=True))
     d = a_mt - e @ a_tp @ a_mt
@@ -62,8 +62,8 @@ def _conditional_precision_from_transitions(a_mt, q_mt, a_tp, q_tp):
 
     d, e, _ = _conditional_statistics_from_transitions(a_mt, q_mt, a_tp, q_tp)
     eye = jnp.eye(a_mt.shape[-1], dtype=a_mt.dtype)
-    q_mt_inv = cho_solve(jnp.linalg.cholesky(q_mt), jnp.broadcast_to(eye, q_mt.shape))
-    l_tp_inv_a = tri_solve(jnp.linalg.cholesky(q_tp), a_tp)
+    q_mt_inv = cho_solve(chol_psd(q_mt), jnp.broadcast_to(eye, q_mt.shape))
+    l_tp_inv_a = tri_solve(chol_psd(q_tp), a_tp)
     t_inv = q_mt_inv + transpose_last(l_tp_inv_a) @ l_tp_inv_a
     return d, e, t_inv
 
@@ -87,7 +87,7 @@ def cyclic_reduction_conditional_statistics(
         explained_time_points, right - explained_time_points
     )
     d, e, t_inv = _conditional_precision_from_transitions(a_mt, q_mt, a_tp, q_tp)
-    l = jnp.linalg.cholesky(t_inv)
+    l = chol_psd(t_inv)
     f = -transpose_last(e) @ l
     g = -transpose_last(d) @ l
     return f[..., 1:, :, :], g[..., :n_cond, :, :], l

@@ -65,15 +65,49 @@ def tri_solve(l: jnp.ndarray, b: jnp.ndarray, *, transpose: bool = False) -> jnp
     """Solve ``L x = b`` (or ``Lᵀ x = b``) for lower-triangular ``L``.
 
     Unlike raw ``lax.linalg.triangular_solve``, leading batch dims broadcast.
-    ``d == 1`` blocks short-circuit to a divide — batched triangular solves
-    of 1×1 systems are pathologically slow on TPU.
+    ``d == 1`` blocks short-circuit to a divide, and ``d ≤ 8`` uses unrolled
+    forward/backward substitution on scalar channels: the XLA
+    TriangularSolve expansion on stacks of tiny blocks is a while-loop per
+    call (profiled at ~100 ms/step in the spatio-temporal d=6 predict path)
+    and the ``[N,d,d]`` operands tile-pad up to 28×.
     """
     if l.shape[-1] == 1 and b.shape[-2] == 1:
         return b / l[..., :1, :1]
+    if l.shape[-1] <= _UNROLL_MAX_DIM:
+        return _tri_solve_unrolled(l, b, transpose=transpose)
     l, b = _broadcast_batch(l, b)
     return lax.linalg.triangular_solve(
         l, b, left_side=True, lower=True, transpose_a=transpose
     )
+
+
+def _tri_solve_unrolled(l: jnp.ndarray, b: jnp.ndarray, *, transpose: bool) -> jnp.ndarray:
+    """Unrolled substitution for lower-triangular ``L`` (static small d).
+
+    Row ``i`` of the solution is computed as a ``[..., cols]`` slab, so the
+    whole solve is O(d²) fusible elementwise ops regardless of batch shape.
+    """
+    d = l.shape[-1]
+    rows = [b[..., i, :] for i in range(d)]  # each [..., cols]
+
+    def lij(i, j):
+        return l[..., i, j][..., None]
+
+    x = [None] * d
+    if transpose:
+        # Lᵀ x = b: backward substitution, coefficient Lᵀ[i,k] = L[k,i]
+        for i in range(d - 1, -1, -1):
+            s = rows[i]
+            for k in range(i + 1, d):
+                s = s - lij(k, i) * x[k]
+            x[i] = s / lij(i, i)
+    else:
+        for i in range(d):
+            s = rows[i]
+            for k in range(i):
+                s = s - lij(i, k) * x[k]
+            x[i] = s / lij(i, i)
+    return jnp.stack(x, axis=-2)
 
 
 #: unrolled scalar-channel ceiling for chol/matmul: beyond this the
