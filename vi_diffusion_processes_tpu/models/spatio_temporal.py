@@ -18,7 +18,7 @@ from ..kernels.spatio_temporal import SparseSpatioTemporalKernel
 from ..ssm.conditionals import conditional_statistics
 from ..ssm.state_space_model import StateSpaceModel
 from ..ssm.transforms import naturals_to_ssm
-from ..utils.linalg import chol_psd, transpose_last, tri_solve
+from ..utils.linalg import chol_psd, matmul_small, transpose_last, tri_solve
 from .posterior import ConditionalProcess
 
 __all__ = [
@@ -35,7 +35,7 @@ def batch_base_conditional(kmn, kmm, knn, f, q_sqrt=None):
     ``q_sqrt: [N, M, M]`` (lower) → per-datum ``(mean [N], var [N])`` of
     ``q(g1_n) = ∫ q_n(g2) p(g1_n|g2) dg2``.
     """
-    lm = jnp.linalg.cholesky(kmm)
+    lm = chol_psd(kmm)
     a = tri_solve(lm, kmn)  # Lm⁻¹ Kmn, [M, N]
     var = knn - jnp.sum(a**2, axis=-2)
     # mean: aᵀ Lm⁻¹ f per column
@@ -44,7 +44,7 @@ def batch_base_conditional(kmn, kmm, knn, f, q_sqrt=None):
         # var += ‖q_sqrt_nᵀ (Lm⁻ᵀ a_n)‖² per datum n
         b = tri_solve(lm, a, transpose=True)  # Kmm⁻¹ Kmn, [M, N]
         b_n = jnp.moveaxis(b, -1, 0)[..., None]  # [N, M, 1]
-        sq = transpose_last(q_sqrt) @ b_n  # [N, M, 1]
+        sq = matmul_small(transpose_last(q_sqrt), b_n)  # [N, M, 1]
         var = var + jnp.sum(sq[..., 0] ** 2, axis=-1)
     return mean, var
 

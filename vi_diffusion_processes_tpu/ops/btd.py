@@ -740,6 +740,40 @@ def affine_scan(t_mats: jnp.ndarray, c_vecs: jnp.ndarray, x0: jnp.ndarray, *, re
         a2, b2 = e2
         return a2 @ a1, jnp.einsum("...ij,...j->...i", a2, b1) + b2
 
+    if t_t.shape[0] >= 4096 and t_t.ndim == 3:
+        # long unbatched grids: ONE packed [d²+d, T] array through the
+        # blocked scan — matrix-stack composes pay tile padding plus XLA's
+        # while-loop batched-matmul lowering per step (blocked_scan.py)
+        from . import achmat as am
+        from .blocked_scan import blocked_assoc_scan_packed
+
+        dd2 = d * d
+        n_el = t_t.shape[0]
+        packed = jnp.concatenate(
+            [t_mats.reshape(n_el, dd2).T, c_vecs.T], axis=0
+        )
+
+        def compose_packed(x, y):
+            rest_x = x.shape[1:]
+            a1 = x[:dd2].reshape((d, d) + rest_x)
+            b1 = x[dd2:]
+            rest_y = y.shape[1:]
+            a2 = y[:dd2].reshape((d, d) + rest_y)
+            b2 = y[dd2:]
+            a = am.amm(a2, a1)
+            b = am.amv(a2, b1) + b2
+            return jnp.concatenate([a.reshape((dd2,) + b.shape[1:]), b], axis=0)
+
+        ident = tuple(
+            1.0 if i == j else 0.0 for i in range(d) for j in range(d)
+        ) + (0.0,) * d
+        out = blocked_assoc_scan_packed(
+            compose_packed, packed, identity=ident, reverse=reverse
+        )
+        ca_a = out[:dd2].reshape(d, d, n_el)
+        cb_a = out[dd2:]
+        xs_a = am.amv(ca_a, x0[:, None]) + cb_a  # [d, T]
+        return xs_a.T
     if t_t.shape[0] >= 4096:
         from .blocked_scan import blocked_assoc_scan
 

@@ -19,7 +19,7 @@ from typing import Optional, Tuple
 import jax.numpy as jnp
 
 from ..config import APPROX_INF
-from ..utils.linalg import chol_psd, transpose_last, tri_solve
+from ..utils.linalg import chol_psd, matmul_small, transpose_last, tri_solve
 from .state_space_model import StateSpaceModel
 
 __all__ = [
@@ -41,16 +41,16 @@ def _conditional_statistics_from_transitions(a_mt, q_mt, a_tp, q_tp):
     """
     from ..config import default_jitter
 
-    a_tp_q_mt = a_tp @ q_mt
-    q_mp = q_tp + a_tp_q_mt @ transpose_last(a_tp)
+    a_tp_q_mt = matmul_small(a_tp, q_mt)
+    q_mp = q_tp + matmul_small(a_tp_q_mt, transpose_last(a_tp))
     # jitter: deterministic state components (Q = 0, e.g. Constant/Harmonic
     # kernels) make Q₋₊ singular
     eye = jnp.eye(q_mp.shape[-1], dtype=q_mp.dtype)
     chol = chol_psd(q_mp + default_jitter() * eye)
     linv_atp_qmt = tri_solve(chol, a_tp_q_mt)
     e = transpose_last(tri_solve(chol, linv_atp_qmt, transpose=True))
-    d = a_mt - e @ a_tp @ a_mt
-    t = q_mt - transpose_last(linv_atp_qmt) @ linv_atp_qmt
+    d = a_mt - matmul_small(matmul_small(e, a_tp), a_mt)
+    t = q_mt - matmul_small(transpose_last(linv_atp_qmt), linv_atp_qmt)
     return d, e, t
 
 
@@ -64,7 +64,7 @@ def _conditional_precision_from_transitions(a_mt, q_mt, a_tp, q_tp):
     eye = jnp.eye(a_mt.shape[-1], dtype=a_mt.dtype)
     q_mt_inv = cho_solve(chol_psd(q_mt), jnp.broadcast_to(eye, q_mt.shape))
     l_tp_inv_a = tri_solve(chol_psd(q_tp), a_tp)
-    t_inv = q_mt_inv + transpose_last(l_tp_inv_a) @ l_tp_inv_a
+    t_inv = q_mt_inv + matmul_small(transpose_last(l_tp_inv_a), l_tp_inv_a)
     return d, e, t_inv
 
 
@@ -88,8 +88,8 @@ def cyclic_reduction_conditional_statistics(
     )
     d, e, t_inv = _conditional_precision_from_transitions(a_mt, q_mt, a_tp, q_tp)
     l = chol_psd(t_inv)
-    f = -transpose_last(e) @ l
-    g = -transpose_last(d) @ l
+    f = matmul_small(-transpose_last(e), l)
+    g = matmul_small(-transpose_last(d), l)
     return f[..., 1:, :, :], g[..., :n_cond, :, :], l
 
 
@@ -120,10 +120,9 @@ def base_conditional_predict(
     means = jnp.einsum("...ij,...j->...i", conditional_projections, adjacent_states)
     covs = conditional_covariances
     if pairwise_state_covariances is not None:
-        covs = covs + (
-            conditional_projections
-            @ pairwise_state_covariances
-            @ transpose_last(conditional_projections)
+        covs = covs + matmul_small(
+            matmul_small(conditional_projections, pairwise_state_covariances),
+            transpose_last(conditional_projections),
         )
     return means, covs
 

@@ -11,7 +11,7 @@ from typing import Tuple
 import jax.numpy as jnp
 from flax import struct
 
-from ..utils.linalg import transpose_last
+from ..utils.linalg import matmul_small, transpose_last
 
 __all__ = ["EmissionModel", "ComposedPairEmissionModel", "StackEmissionModel"]
 
@@ -42,7 +42,7 @@ class EmissionModel:
         """``[..., N+1, d, d] → [..., N+1, m]`` (marginal variances) or
         ``[..., N+1, m, m]`` when ``full_output_cov``."""
         h = self.emission_matrix
-        full = h @ covariance @ transpose_last(h)
+        full = matmul_small(matmul_small(h, covariance), transpose_last(h))
         if full_output_cov:
             return full
         return jnp.diagonal(full, axis1=-2, axis2=-1)
@@ -82,7 +82,7 @@ class StackEmissionModel(EmissionModel):
 
     def project_state_covariance_to_f(self, covariance: jnp.ndarray, full_output_cov: bool = False):
         h = self.emission_matrix
-        full = h @ covariance @ transpose_last(h)  # [..., S, N+1, 1, 1]
+        full = matmul_small(matmul_small(h, covariance), transpose_last(h))  # [..., S, N+1, 1, 1]
         var = full[..., 0, 0]  # [..., S, N+1]
         var = jnp.moveaxis(var, -2, -1)  # [..., N+1, S]
         if full_output_cov:

@@ -149,6 +149,44 @@ class StateSpaceModel:
         a_t = jnp.moveaxis(self.state_transitions, -3, 0)
         b_t = jnp.moveaxis(self.state_offsets, -2, 0)
         q_t = jnp.moveaxis(self.process_covariances, -3, 0)
+        if a_t.shape[0] >= 4096 and a_t.ndim == 3:
+            # long unbatched grids: ONE packed [2d²+d, T] array through the
+            # blocked scan (matrix-stack composes pay tile padding + XLA's
+            # while-loop batched-matmul lowering, ops/blocked_scan.py)
+            from ..ops import achmat as am
+            from ..ops.blocked_scan import blocked_assoc_scan_packed
+
+            d = a_t.shape[-1]
+            dd = d * d
+            n = a_t.shape[0]
+            packed = jnp.concatenate(
+                [a_t.reshape(n, dd).T, b_t.T, q_t.reshape(n, dd).T], axis=0
+            )
+
+            def compose_packed(x, y):
+                rx, ry = x.shape[1:], y.shape[1:]
+                a1 = x[:dd].reshape((d, d) + rx)
+                b1 = x[dd : dd + d]
+                q1 = x[dd + d :].reshape((d, d) + rx)
+                a2 = y[:dd].reshape((d, d) + ry)
+                b2 = y[dd : dd + d]
+                q2 = y[dd + d :].reshape((d, d) + ry)
+                a = am.amm(a2, a1)
+                b = am.amv(a2, b1) + b2
+                q = am.asym(am.amm(a2, am.amm(q1, am.amt(a2))) + q2)
+                rest = b.shape[1:]
+                return jnp.concatenate(
+                    [a.reshape((dd,) + rest), b, q.reshape((dd,) + rest)], axis=0
+                )
+
+            ident = tuple(
+                1.0 if i == j else 0.0 for i in range(d) for j in range(d)
+            ) + (0.0,) * (d + dd)
+            out = blocked_assoc_scan_packed(compose_packed, packed, identity=ident)
+            ca = jnp.moveaxis(out[:dd].reshape(d, d, n), -1, 0)
+            cb = out[dd : dd + d].T
+            cq = jnp.moveaxis(out[dd + d :].reshape(d, d, n), -1, 0)
+            return ca, cb, cq
         if a_t.shape[0] >= 4096:
             from ..ops.blocked_scan import blocked_assoc_scan
 
@@ -173,7 +211,7 @@ class StateSpaceModel:
         mu0 = self.initial_mean
         p0 = self.initial_covariance
         means_rest = jnp.einsum("t...ij,...j->t...i", ca, mu0) + cb
-        covs_rest = jnp.einsum("t...ij,...jk,t...lk->t...il", ca, p0, ca) + cq
+        covs_rest = matmul_small(matmul_small(ca, p0), transpose_last(ca)) + cq
         means = jnp.concatenate([mu0[None], means_rest], axis=0)
         covs = jnp.concatenate([p0[None], covs_rest], axis=0)
         return jnp.moveaxis(means, 0, -2), jnp.moveaxis(covs, 0, -3)
@@ -188,7 +226,7 @@ class StateSpaceModel:
 
     def subsequent_covariances(self, marginal_covariances: jnp.ndarray) -> jnp.ndarray:
         """``Cov(x_{k+1}, x_k) = A_k P_k`` (state_space_model.py:326)."""
-        return self.state_transitions @ marginal_covariances[..., :-1, :, :]
+        return matmul_small(self.state_transitions, marginal_covariances[..., :-1, :, :])
 
     # --------------------------------------------------------------- sampling
     def sample(self, key: jax.Array, sample_shape: Tuple[int, ...] = ()) -> jnp.ndarray:

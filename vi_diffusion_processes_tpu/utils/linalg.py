@@ -179,7 +179,11 @@ def matmul_small(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     """
     m, k = a.shape[-2], a.shape[-1]
     k2, n = b.shape[-2], b.shape[-1]
-    if max(m, k, n) > _UNROLL_MAX_DIM:
+    # pairwise-joint blocks are 2d×2d, so the matmul ceiling is twice the
+    # chol/solve one; XLA's stack-matmul lowering is a while loop with
+    # f32→bf16x3 emulation over the padded operands (~8 ms per [20k,12,12]
+    # product measured on v5e)
+    if max(m, k, n) > 2 * _UNROLL_MAX_DIM:
         return a @ b
     rows = []
     for i in range(m):
