@@ -19,7 +19,7 @@ from typing import Optional, Tuple
 import jax.numpy as jnp
 
 from ..config import APPROX_INF
-from ..utils.linalg import chol_psd, matmul_small, transpose_last, tri_solve
+from ..utils.linalg import chol_psd, matmul_small, matvec_small, transpose_last, tri_solve
 from .state_space_model import StateSpaceModel
 
 __all__ = [
@@ -117,7 +117,7 @@ def base_conditional_predict(
     pairwise_state_covariances: Optional[jnp.ndarray] = None,
 ):
     """``p(x_t) = N(P m, T + P S Pᵀ)`` (conditionals.py:380-421)."""
-    means = jnp.einsum("...ij,...j->...i", conditional_projections, adjacent_states)
+    means = matvec_small(conditional_projections, adjacent_states)
     covs = conditional_covariances
     if pairwise_state_covariances is not None:
         covs = covs + matmul_small(

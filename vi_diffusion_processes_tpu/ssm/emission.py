@@ -11,7 +11,7 @@ from typing import Tuple
 import jax.numpy as jnp
 from flax import struct
 
-from ..utils.linalg import matmul_small, transpose_last
+from ..utils.linalg import matmul_small, matvec_small, transpose_last
 
 __all__ = ["EmissionModel", "ComposedPairEmissionModel", "StackEmissionModel"]
 
@@ -36,7 +36,7 @@ class EmissionModel:
 
     def project_state_to_f(self, state: jnp.ndarray) -> jnp.ndarray:
         """``[..., N+1, d] → [..., N+1, m]``."""
-        return jnp.einsum("...ij,...j->...i", self.emission_matrix, state)
+        return matvec_small(self.emission_matrix, state)
 
     def project_state_covariance_to_f(self, covariance: jnp.ndarray, full_output_cov: bool = False):
         """``[..., N+1, d, d] → [..., N+1, m]`` (marginal variances) or

@@ -35,6 +35,7 @@ from ..utils.linalg import (
     cho_solve,
     gaussian_kl,
     matmul_small,
+    matvec_small,
     mvn_logpdf,
     transpose_last,
     tri_solve,
@@ -210,7 +211,7 @@ class StateSpaceModel:
         ca, cb, cq = self._cumulative_elements()
         mu0 = self.initial_mean
         p0 = self.initial_covariance
-        means_rest = jnp.einsum("t...ij,...j->t...i", ca, mu0) + cb
+        means_rest = matvec_small(ca, mu0) + cb
         covs_rest = matmul_small(matmul_small(ca, p0), transpose_last(ca)) + cq
         means = jnp.concatenate([mu0[None], means_rest], axis=0)
         covs = jnp.concatenate([p0[None], covs_rest], axis=0)
@@ -360,8 +361,8 @@ class StateSpaceModel:
         eye = jnp.eye(d, dtype=self.initial_mean.dtype)
         chols = self.concatenated_cholesky_process_covariance  # [..., N+1, d, d]
         precisions = cho_solve(chols, jnp.broadcast_to(eye, chols.shape))  # [..., N+1, d, d]
-        q_inv_a = precisions[..., 1:, :, :] @ self.state_transitions  # [..., N, d, d]
-        at_qinv_a = transpose_last(self.state_transitions) @ q_inv_a
+        q_inv_a = matmul_small(precisions[..., 1:, :, :], self.state_transitions)  # [..., N, d, d]
+        at_qinv_a = matmul_small(transpose_last(self.state_transitions), q_inv_a)
         diag = precisions
         diag = diag.at[..., :-1, :, :].add(at_qinv_a)
         return BTD(diag=diag, sub=-q_inv_a)

@@ -197,6 +197,26 @@ def matmul_small(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     return jnp.stack(rows, axis=-2)
 
 
+def matvec_small(a: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
+    """Batched ``A v`` over the last axes, unrolled for tiny blocks.
+
+    ``a: [..., m, k]``, ``v: [..., k]`` → ``[..., m]``.  The einsum/dot
+    lowering of stack matvecs is the same while-loop MXU emulation as stack
+    matmuls (see :func:`matmul_small`); the unrolled sum is fusible VPU work.
+    Falls back to einsum beyond ``2·_UNROLL_MAX_DIM``.
+    """
+    m, k = a.shape[-2], a.shape[-1]
+    if max(m, k) > 2 * _UNROLL_MAX_DIM:
+        return jnp.einsum("...ij,...j->...i", a, v)
+    rows = []
+    for i in range(m):
+        s = a[..., i, 0] * v[..., 0]
+        for p in range(1, k):
+            s = s + a[..., i, p] * v[..., p]
+        rows.append(s)
+    return jnp.stack(rows, axis=-1)
+
+
 def solve_small(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     """``a⁻¹ b`` with a scalar fast path for 1×1 systems.
 
