@@ -109,6 +109,57 @@ def test_riccati_df_gradients_match_fd(seqs):
     np.testing.assert_allclose(g[1][i], fd, rtol=1e-5)
 
 
+def test_fused_dist_q_matches_xla_composition(rng):
+    """The fused dist_q mega-kernel (riccati → solves → marginals in one
+    pallas call) vs the f64 XLA composition, at f32-output resolution."""
+    from vi_diffusion_processes_tpu.models.cvi_dp_packed import _dist_q_core
+    from vi_diffusion_processes_tpu.ops.pallas_scan import dist_q_1d_planes
+
+    n = 1500  # nb=512, l=3: padding + lane- and sublane-level shifts, but
+    # few enough unrolled rows to keep interpret mode fast
+    kd = rng.uniform(2.0, 3.0, n)
+    ks = 0.4 * rng.uniform(-1.0, 1.0, n - 1)
+    nat1 = jnp.asarray(rng.normal(size=n))
+    nat2d = jnp.asarray(-0.5 * kd)
+    nat2s = jnp.asarray(-ks)
+
+    fused = dist_q_1d_planes(nat1, nat2d, nat2s)
+    oracle = _dist_q_core(nat1, nat2d, nat2s, jnp.float64)
+    names = ["a", "b", "qv", "mu0", "p0v", "means", "vars"]
+    for nm, f, x in zip(names, fused, oracle):
+        assert np.asarray(f).dtype == np.float32, nm
+        np.testing.assert_allclose(
+            np.asarray(f), np.asarray(x), rtol=2e-4, atol=1e-6, err_msg=nm
+        )
+
+
+def test_fused_dist_q_gradients_route_through_xla(rng):
+    """custom_vjp bwd of the fused wrapper ≡ grads of the XLA composition."""
+    from vi_diffusion_processes_tpu.models.cvi_dp_packed import (
+        _dist_q_core,
+        _dist_q_core_fused,
+    )
+
+    n = 1500
+    kd = rng.uniform(2.0, 3.0, n)
+    ks = 0.4 * rng.uniform(-1.0, 1.0, n - 1)
+    nat1 = jnp.asarray(rng.normal(size=n))
+    nat2d = jnp.asarray(-0.5 * kd)
+    nat2s = jnp.asarray(-ks)
+
+    def loss_fused(n1):
+        out = _dist_q_core_fused(n1, nat2d, nat2s)
+        return jnp.sum(out[5]) + jnp.sum(out[6])
+
+    def loss_xla(n1):
+        out = _dist_q_core(n1, nat2d, nat2s, jnp.float32)
+        return jnp.sum(out[5]) + jnp.sum(out[6])
+
+    g_f = jax.grad(loss_fused)(nat1)
+    g_x = jax.grad(loss_xla)(nat1)
+    np.testing.assert_allclose(np.asarray(g_f), np.asarray(g_x), rtol=1e-5, atol=1e-7)
+
+
 def test_dispatch_equivalence_on_cpu_paths():
     """riccati_d_scalar / scalar_affine_all keep their XLA paths off-TPU —
     the pallas dispatch (backend == "tpu") must not fire here, and the

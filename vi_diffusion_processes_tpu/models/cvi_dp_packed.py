@@ -177,6 +177,47 @@ def _marginals_1d(a, b, qv, mu0, p0v):
     return means, varis
 
 
+def _dist_q_core(nat1, nat2d, nat2s, compute_dtype):
+    """naturals → f32 SSM params + marginals, XLA composition (the pallas
+    kernels behind riccati/affine dispatch individually on TPU)."""
+    a, b, qv, mu0, p0v, _ = _naturals_to_ssm_1d(nat1, nat2d, nat2s)
+    a = a.astype(compute_dtype)
+    b = b.astype(compute_dtype)
+    qv = qv.astype(compute_dtype)
+    mu0 = mu0.astype(compute_dtype)
+    p0v = p0v.astype(compute_dtype)
+    means, varis = _marginals_1d(a, b, qv, mu0, p0v)
+    return a, b, qv, mu0, p0v, means, varis
+
+
+@jax.custom_vjp
+def _dist_q_core_fused(nat1, nat2d, nat2s):
+    """One fused Pallas kernel for the whole chain (TPU, f64 naturals →
+    f32 outputs; ops/pallas_scan.py::dist_q_1d_planes).  Five separate
+    kernel dispatches' worth of HBM round-trips and blockify relayouts
+    were ~40% of the packed step's device time at T=100k."""
+    return _dist_q_fused_fwd(nat1, nat2d, nat2s)[0]
+
+
+def _dist_q_fused_fwd(nat1, nat2d, nat2s):
+    from ..ops.pallas_scan import dist_q_1d_planes
+
+    return dist_q_1d_planes(nat1, nat2d, nat2s), (nat1, nat2d, nat2s)
+
+
+def _dist_q_fused_bwd(res, ct):
+    # gradients route through the (differentiable) XLA composition — only
+    # paid when a caller differentiates through dist_q (prior learning),
+    # never in the site hot loop
+    _, vjp = jax.vjp(
+        lambda n1, n2d, n2s: _dist_q_core(n1, n2d, n2s, jnp.float32), *res
+    )
+    return vjp(ct)
+
+
+_dist_q_core_fused.defvjp(_dist_q_fused_fwd, _dist_q_fused_bwd)
+
+
 def _dist_q_1d(state: PackedCVIState, compute_dtype):
     """``full_sites`` + ``naturals_to_ssm`` + ``marginals`` on scalar
     channels (cvi_dp.py full_sites/dist_q; f64 naturals algebra, f32 out).
@@ -185,13 +226,18 @@ def _dist_q_1d(state: PackedCVIState, compute_dtype):
     nat1 = state.p_nat1 + state.g_nat1.astype(f64) + state.d_nat1.astype(f64)
     nat2d = state.p_nat2d + state.g_nat2d.astype(f64) + state.d_nat2.astype(f64)
     nat2s = state.p_nat2s + state.g_nat2s.astype(f64)
-    a, b, qv, mu0, p0v, _ = _naturals_to_ssm_1d(nat1, nat2d, nat2s)
-    a = a.astype(compute_dtype)
-    b = b.astype(compute_dtype)
-    qv = qv.astype(compute_dtype)
-    mu0 = mu0.astype(compute_dtype)
-    p0v = p0v.astype(compute_dtype)
-    means, varis = _marginals_1d(a, b, qv, mu0, p0v)
+    if (
+        compute_dtype == jnp.float32
+        and nat1.dtype == jnp.float64
+        and nat1.ndim == 1
+        and nat1.shape[0] >= 4096
+        and jax.default_backend() == "tpu"
+    ):
+        a, b, qv, mu0, p0v, means, varis = _dist_q_core_fused(nat1, nat2d, nat2s)
+    else:
+        a, b, qv, mu0, p0v, means, varis = _dist_q_core(
+            nat1, nat2d, nat2s, compute_dtype
+        )
     return (a, b, qv, mu0, p0v), means, varis
 
 

@@ -54,7 +54,7 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["riccati_d_sweep_df", "linear_recurrence"]
+__all__ = ["riccati_d_sweep_df", "linear_recurrence", "dist_q_1d_planes"]
 
 SUB = 8  # f32 sublane tile
 
@@ -480,3 +480,237 @@ def _linrec_bwd(reverse, res, g):
 
 
 linear_recurrence.defvjp(_linrec_fwd, _linrec_bwd)
+
+
+# ============================================== fused d=1 dist_q mega-kernel
+def _dist_q_kernel(
+    kdh_ref, kdl_ref, nb2h_ref, nb2l_ref, ksth_ref, kstl_ref,
+    invsh_ref, invsl_ref, n1h_ref, n1l_ref,
+    covs_ref, a_ref, w_ref, mu_ref, v_ref,
+    uh_s, ul_s, wh_s, wl_s, cvh_s, cvl_s,
+):
+    """The whole ``naturals → SSM params → marginals`` chain for d = 1 in
+    ONE kernel (five chained recurrences), replacing five separate pallas
+    calls whose HBM round-trips + ``_blockify`` relayouts dominated the
+    CVI-DP step's device time (~95 µs/step of reshape+copy at T=100k).
+
+    Inputs are diagonally preconditioned df planes (see
+    ``dist_q_1d_planes``); outputs are the f32 quantities the packed model
+    consumes.  Sequence:
+
+    1. Riccati pivot sweep ``D_k = kd_k − b2_k/D_{k+1}`` (phases A/B/C of
+       :func:`riccati_d_sweep_df`), emitting ``u_k = kst_k/D_{k+1}`` (df
+       scratch; ``a = −u``) and ``covs = invs/D`` along phase C,
+    2. reverse bidiagonal solve ``z_k = −u_k·z_{k+1} + θ_k`` and
+       ``w = covs·z`` (df scratch; ``b = w[1:]`` outside),
+    3. forward mean solve ``μ_k = −u_{k−1}·μ_{k−1} + w_k`` (exact df —
+       the separate f32 marginal-mean recurrence becomes redundant),
+    4. forward f32 variance recurrence ``v_k = u²_{k−1}·v_{k−1} + covs_k``.
+    """
+    l, s8, L = kdh_ref.shape
+    nb = s8 * L
+    fdt = jnp.float32
+    one = jnp.ones((s8, L), fdt)
+    zero = jnp.zeros((s8, L), fdt)
+    one_df = (one, zero)
+
+    def row(rh, rl, i):
+        return (rh[i], rl[i])
+
+    # ---- phase R-A: window Möbius suffix maps (as _riccati_kernel)
+    w00, w01 = one_df, (zero, zero)
+    w10, w11 = (zero, zero), one_df
+    for i in range(l - 1, -1, -1):
+        kd = row(kdh_ref, kdl_ref, i)
+        mb2 = row(nb2h_ref, nb2l_ref, i)
+        p00 = df_add(df_mul(kd, w00), df_mul(mb2, w10))
+        p01 = df_add(df_mul(kd, w01), df_mul(mb2, w11))
+        scale = lax.rsqrt(
+            p00[0] ** 2 + p01[0] ** 2 + w00[0] ** 2 + w01[0] ** 2 + 1e-30
+        )
+        w10 = df_scale(w00, scale)
+        w11 = df_scale(w01, scale)
+        w00 = df_scale(p00, scale)
+        w01 = df_scale(p01, scale)
+
+    # ---- phase R-B: window-order suffix composition (Hillis–Steele)
+    sh = 1
+    while sh < nb:
+        sr = _win_shift(
+            (w00[0], w00[1], w01[0], w01[1], w10[0], w10[1], w11[0], w11[1]),
+            sh,
+            (1.0, 0.0, 0.0, 0.0, 0.0, 0.0, 1.0, 0.0),
+            toward_start=True,
+        )
+        s00, s01 = (sr[0], sr[1]), (sr[2], sr[3])
+        s10, s11 = (sr[4], sr[5]), (sr[6], sr[7])
+        n00 = df_add(df_mul(w00, s00), df_mul(w01, s10))
+        n01 = df_add(df_mul(w00, s01), df_mul(w01, s11))
+        n10 = df_add(df_mul(w10, s00), df_mul(w11, s10))
+        n11 = df_add(df_mul(w10, s01), df_mul(w11, s11))
+        scale = lax.rsqrt(
+            n00[0] ** 2 + n01[0] ** 2 + n10[0] ** 2 + n11[0] ** 2 + 1e-30
+        )
+        w00, w01 = df_scale(n00, scale), df_scale(n01, scale)
+        w10, w11 = df_scale(n10, scale), df_scale(n11, scale)
+        sh *= 2
+
+    t00h, t00l, t10h, t10l = _win_shift(
+        (w00[0], w00[1], w10[0], w10[1]), 1, (1.0, 0.0, 0.0, 0.0), toward_start=True
+    )
+    degenerate = t10h == 0.0
+    t10 = df_where(degenerate, one_df, (t10h, t10l))
+    d = df_div(df_where(degenerate, one_df, (t00h, t00l)), t10)
+
+    # ---- phase R-C: exact pivot recursion, emitting u, a, covs
+    rec = df_div(one_df, d)  # 1/D_{i+1} entering position i
+    for i in range(l - 1, -1, -1):
+        u = df_mul(row(ksth_ref, kstl_ref, i), rec)
+        uh_s[i] = u[0]
+        ul_s[i] = u[1]
+        a_ref[i] = -(u[0] + u[1])
+        d = df_add(row(kdh_ref, kdl_ref, i), df_mul(row(nb2h_ref, nb2l_ref, i), rec))
+        rec = df_div(one_df, d)
+        cov = df_mul(row(invsh_ref, invsl_ref, i), rec)
+        cvh_s[i] = cov[0]
+        cvl_s[i] = cov[1]
+        covs_ref[i] = cov[0] + cov[1]
+
+    # ---- phase Z: reverse solve z = −u·z₊ + θ; w = covs·z
+    az, bz = one_df, (zero, zero)
+    for i in range(l - 1, -1, -1):
+        t = (-uh_s[i], -ul_s[i])
+        az = df_mul(t, az)
+        bz = df_add(df_mul(t, bz), row(n1h_ref, n1l_ref, i))
+    sh = 1
+    while sh < nb:
+        sah, sal, sbh, sbl = _win_shift(
+            (az[0], az[1], bz[0], bz[1]), sh, (1.0, 0.0, 0.0, 0.0), toward_start=True
+        )
+        bz = df_add(df_mul(az, (sbh, sbl)), bz)
+        az = df_mul(az, (sah, sal))
+        sh *= 2
+    bnd = _win_shift((bz[0], bz[1]), 1, (0.0, 0.0), toward_start=True)
+    x = (bnd[0], bnd[1])
+    for i in range(l - 1, -1, -1):
+        t = (-uh_s[i], -ul_s[i])
+        x = df_add(df_mul(t, x), row(n1h_ref, n1l_ref, i))
+        wv = df_mul((cvh_s[i], cvl_s[i]), x)
+        wh_s[i] = wv[0]
+        wl_s[i] = wv[1]
+        w_ref[i] = wv[0] + wv[1]
+
+    # window-boundary row of u shifted one window toward the end: position
+    # i = 0 of window w needs u at position l−1 of window w−1
+    ubh, ubl = _win_shift((uh_s[l - 1], ul_s[l - 1]), 1, (0.0, 0.0), toward_start=False)
+
+    def tprime(i):  # t'_p = −u_{p−1} (t'_0 = 0 globally via the fill)
+        if i == 0:
+            return (-ubh, -ubl)
+        return (-uh_s[i - 1], -ul_s[i - 1])
+
+    # ---- phase M: forward mean solve μ = t'·μ₋ + w (exact df)
+    am, bm = one_df, (zero, zero)
+    for i in range(l):
+        t = tprime(i)
+        am = df_mul(t, am)
+        bm = df_add(df_mul(t, bm), (wh_s[i], wl_s[i]))
+    sh = 1
+    while sh < nb:
+        sah, sal, sbh, sbl = _win_shift(
+            (am[0], am[1], bm[0], bm[1]), sh, (1.0, 0.0, 0.0, 0.0), toward_start=False
+        )
+        bm = df_add(df_mul(am, (sbh, sbl)), bm)
+        am = df_mul(am, (sah, sal))
+        sh *= 2
+    bnd = _win_shift((bm[0], bm[1]), 1, (0.0, 0.0), toward_start=False)
+    x = (bnd[0], bnd[1])
+    for i in range(l):
+        t = tprime(i)
+        x = df_add(df_mul(t, x), (wh_s[i], wl_s[i]))
+        mu_ref[i] = x[0] + x[1]
+
+    # ---- phase V: forward f32 variance recurrence v = u²₋·v₋ + covs
+    aubsq = (ubh + ubl) ** 2
+
+    def t2(i):
+        if i == 0:
+            return aubsq
+        au = uh_s[i - 1] + ul_s[i - 1]
+        return au * au
+
+    av, bv = one, zero
+    for i in range(l):
+        t = t2(i)
+        av = t * av
+        bv = t * bv + (cvh_s[i] + cvl_s[i])
+    sh = 1
+    while sh < nb:
+        sa, sb = _win_shift((av, bv), sh, (1.0, 0.0), toward_start=False)
+        bv = av * sb + bv
+        av = av * sa
+        sh *= 2
+    (xv,) = _win_shift((bv,), 1, (0.0,), toward_start=False)
+    for i in range(l):
+        xv = t2(i) * xv + (cvh_s[i] + cvl_s[i])
+        v_ref[i] = xv
+
+
+def dist_q_1d_planes(nat1: jnp.ndarray, nat2d: jnp.ndarray, nat2s: jnp.ndarray):
+    """Fused forward of the packed d=1 ``dist_q`` chain
+    (models/cvi_dp_packed.py::_dist_q_1d): float64 naturals in, float32
+    ``(a [N−1], b [N−1], qv [N−1], mu0, p0v, means [N], vars [N])`` out.
+
+    Mirrors ssm/transforms.py::naturals_to_ssm_params +
+    state_space_model marginals on scalar channels; means are computed in
+    double-float (the separate f32 mean recurrence of ``_marginals_1d`` is
+    subsumed exactly).
+    """
+    n = nat1.shape[0]
+    nb, l = _pick_shape(n)
+
+    kd = -2.0 * nat2d
+    ks = -nat2s
+    b2 = jnp.concatenate([ks * ks, jnp.zeros_like(kd[:1])])
+    # diagonal preconditioning in f64 (as _ric_fwd): D = s·D_t keeps the df
+    # window products O(1); u and covs fold the unscaling in directly via
+    # kst = ks/s₊ and invs = 1/s
+    s = jnp.where(b2 > 0, jnp.sqrt(b2), jnp.abs(kd) + 1e-300)
+    s_next = jnp.concatenate([s[1:], jnp.ones_like(s[:1])])
+    kd_t = kd / s
+    b2_t = b2 / (s * s_next)
+    kst = jnp.concatenate([ks / s[1:], jnp.zeros_like(kd[:1])])
+    invs = 1.0 / s
+
+    kdh, kdl = _f64_to_df(kd_t)
+    nb2h, nb2l = _f64_to_df(-b2_t)
+    ksth, kstl = _f64_to_df(kst)
+    invsh, invsl = _f64_to_df(invs)
+    n1h, n1l = _f64_to_df(nat1)
+    blocks = [
+        _blockify(kdh, nb, l, 1.0),
+        _blockify(kdl, nb, l, 0.0),
+        _blockify(nb2h, nb, l, 0.0),
+        _blockify(nb2l, nb, l, 0.0),
+        _blockify(ksth, nb, l, 0.0),
+        _blockify(kstl, nb, l, 0.0),
+        _blockify(invsh, nb, l, 1.0),
+        _blockify(invsl, nb, l, 0.0),
+        _blockify(n1h, nb, l, 0.0),
+        _blockify(n1l, nb, l, 0.0),
+    ]
+    plane = jax.ShapeDtypeStruct((l, SUB, nb // SUB), jnp.float32)
+    covs_b, a_b, w_b, mu_b, v_b = pl.pallas_call(
+        _dist_q_kernel,
+        out_shape=[plane] * 5,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 10,
+        out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 5,
+        scratch_shapes=[pltpu.VMEM((l, SUB, nb // SUB), jnp.float32)] * 6,
+        interpret=_interpret(),
+    )(*blocks)
+    covs = _unblockify(covs_b, n)
+    a = _unblockify(a_b, n)[: n - 1]
+    w = _unblockify(w_b, n)
+    means = _unblockify(mu_b, n)
+    varis = _unblockify(v_b, n)
+    return a, w[1:], covs[1:], means[0], covs[0], means, varis
