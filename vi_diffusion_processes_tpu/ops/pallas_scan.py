@@ -126,6 +126,19 @@ def df_where(mask, x, y):
     return (jnp.where(mask, x[0], y[0]), jnp.where(mask, x[1], y[1]))
 
 
+def df_abs(x):
+    neg = x[0] < 0
+    return (jnp.where(neg, -x[0], x[0]), jnp.where(neg, -x[1], x[1]))
+
+
+def df_sqrt(x, guard):
+    """√x for x ≥ 0 via one df Newton step; ``guard`` masks rows where the
+    caller will discard the result (keeps the seeded division finite)."""
+    q0 = jnp.sqrt(jnp.where(guard, x[0], 1.0))
+    r = df_div(x, (q0, jnp.zeros_like(q0)))
+    return df_scale(df_add((q0, jnp.zeros_like(q0)), r), jnp.asarray(0.5, q0.dtype))
+
+
 def _f64_to_df(x64):
     hi = x64.astype(jnp.float32)
     lo = (x64 - hi.astype(jnp.float64)).astype(jnp.float32)
@@ -484,23 +497,29 @@ linear_recurrence.defvjp(_linrec_fwd, _linrec_bwd)
 
 # ============================================== fused d=1 dist_q mega-kernel
 def _dist_q_kernel(
-    kdh_ref, kdl_ref, nb2h_ref, nb2l_ref, ksth_ref, kstl_ref,
-    invsh_ref, invsl_ref, n1h_ref, n1l_ref,
+    kdh_ref, kdl_ref, ksh_ref, ksl_ref, n1h_ref, n1l_ref,
     covs_ref, a_ref, w_ref, mu_ref, v_ref,
     uh_s, ul_s, wh_s, wl_s, cvh_s, cvl_s,
+    sh_s, sl_s, kth_s, ktl_s, bth_s, btl_s,
 ):
     """The whole ``naturals → SSM params → marginals`` chain for d = 1 in
     ONE kernel (five chained recurrences), replacing five separate pallas
     calls whose HBM round-trips + ``_blockify`` relayouts dominated the
     CVI-DP step's device time (~95 µs/step of reshape+copy at T=100k).
 
-    Inputs are diagonally preconditioned df planes (see
-    ``dist_q_1d_planes``); outputs are the f32 quantities the packed model
+    Inputs are the RAW df naturals channels (``kd = −2·θ_diag``,
+    ``ks = −θ_sub`` zero-padded to [N], ``θ_mean``); the diagonal
+    preconditioning of ``_ric_fwd`` (``D = s·D_t``) happens in-kernel in
+    double-float — any positive ``s`` preserves the algebra exactly, the
+    unscalings ``u = ks/(s₊·D_t₊)`` and ``covs = 1/(s·D_t)`` use the same
+    in-kernel ``s``.  Outputs are the f32 quantities the packed model
     consumes.  Sequence:
 
+    0. ``s = √(ks²)`` (or ``|kd|`` where ks = 0), ``kd_t = kd/s``,
+       ``−b2_t = −ks²/(s·s₊)`` into df scratch,
     1. Riccati pivot sweep ``D_k = kd_k − b2_k/D_{k+1}`` (phases A/B/C of
-       :func:`riccati_d_sweep_df`), emitting ``u_k = kst_k/D_{k+1}`` (df
-       scratch; ``a = −u``) and ``covs = invs/D`` along phase C,
+       :func:`riccati_d_sweep_df`), emitting ``u_k = ks_k/(s₊·D_t_{k+1})``
+       (df scratch; ``a = −u``) and ``covs = 1/(s·D_t)`` along phase C,
     2. reverse bidiagonal solve ``z_k = −u_k·z_{k+1} + θ_k`` and
        ``w = covs·z`` (df scratch; ``b = w[1:]`` outside),
     3. forward mean solve ``μ_k = −u_{k−1}·μ_{k−1} + w_k`` (exact df —
@@ -517,12 +536,38 @@ def _dist_q_kernel(
     def row(rh, rl, i):
         return (rh[i], rl[i])
 
+    # ---- phase 0: diagonal preconditioner s and the scaled channels
+    for i in range(l):
+        ks = row(ksh_ref, ksl_ref, i)
+        b2 = df_mul(ks, ks)
+        nondeg = b2[0] > 0
+        s = df_where(nondeg, df_sqrt(b2, nondeg), df_abs(row(kdh_ref, kdl_ref, i)))
+        sh_s[i] = s[0]
+        sl_s[i] = s[1]
+    # s₊ boundary row: next window's first s (identity fill past the end)
+    snbh, snbl = _win_shift((sh_s[0], sl_s[0]), 1, (1.0, 0.0), toward_start=True)
+
+    def s_next(i):
+        if i == l - 1:
+            return (snbh, snbl)
+        return (sh_s[i + 1], sl_s[i + 1])
+
+    for i in range(l):
+        s = (sh_s[i], sl_s[i])
+        kt = df_div(row(kdh_ref, kdl_ref, i), s)
+        kth_s[i] = kt[0]
+        ktl_s[i] = kt[1]
+        ks = row(ksh_ref, ksl_ref, i)
+        bt = df_div(df_mul(ks, ks), df_mul(s, s_next(i)))
+        bth_s[i] = -bt[0]
+        btl_s[i] = -bt[1]
+
     # ---- phase R-A: window Möbius suffix maps (as _riccati_kernel)
     w00, w01 = one_df, (zero, zero)
     w10, w11 = (zero, zero), one_df
     for i in range(l - 1, -1, -1):
-        kd = row(kdh_ref, kdl_ref, i)
-        mb2 = row(nb2h_ref, nb2l_ref, i)
+        kd = row(kth_s, ktl_s, i)
+        mb2 = row(bth_s, btl_s, i)
         p00 = df_add(df_mul(kd, w00), df_mul(mb2, w10))
         p01 = df_add(df_mul(kd, w01), df_mul(mb2, w11))
         scale = lax.rsqrt(
@@ -563,15 +608,15 @@ def _dist_q_kernel(
     d = df_div(df_where(degenerate, one_df, (t00h, t00l)), t10)
 
     # ---- phase R-C: exact pivot recursion, emitting u, a, covs
-    rec = df_div(one_df, d)  # 1/D_{i+1} entering position i
+    rec = df_div(one_df, d)  # 1/D_t_{i+1} entering position i
     for i in range(l - 1, -1, -1):
-        u = df_mul(row(ksth_ref, kstl_ref, i), rec)
+        u = df_mul(row(ksh_ref, ksl_ref, i), df_div(rec, s_next(i)))
         uh_s[i] = u[0]
         ul_s[i] = u[1]
         a_ref[i] = -(u[0] + u[1])
-        d = df_add(row(kdh_ref, kdl_ref, i), df_mul(row(nb2h_ref, nb2l_ref, i), rec))
+        d = df_add(row(kth_s, ktl_s, i), df_mul(row(bth_s, btl_s, i), rec))
         rec = df_div(one_df, d)
-        cov = df_mul(row(invsh_ref, invsl_ref, i), rec)
+        cov = df_div(rec, (sh_s[i], sl_s[i]))
         cvh_s[i] = cov[0]
         cvl_s[i] = cov[1]
         covs_ref[i] = cov[0] + cov[1]
@@ -670,32 +715,16 @@ def dist_q_1d_planes(nat1: jnp.ndarray, nat2d: jnp.ndarray, nat2s: jnp.ndarray):
     nb, l = _pick_shape(n)
 
     kd = -2.0 * nat2d
-    ks = -nat2s
-    b2 = jnp.concatenate([ks * ks, jnp.zeros_like(kd[:1])])
-    # diagonal preconditioning in f64 (as _ric_fwd): D = s·D_t keeps the df
-    # window products O(1); u and covs fold the unscaling in directly via
-    # kst = ks/s₊ and invs = 1/s
-    s = jnp.where(b2 > 0, jnp.sqrt(b2), jnp.abs(kd) + 1e-300)
-    s_next = jnp.concatenate([s[1:], jnp.ones_like(s[:1])])
-    kd_t = kd / s
-    b2_t = b2 / (s * s_next)
-    kst = jnp.concatenate([ks / s[1:], jnp.zeros_like(kd[:1])])
-    invs = 1.0 / s
+    ks = jnp.concatenate([-nat2s, jnp.zeros_like(kd[:1])])
 
-    kdh, kdl = _f64_to_df(kd_t)
-    nb2h, nb2l = _f64_to_df(-b2_t)
-    ksth, kstl = _f64_to_df(kst)
-    invsh, invsl = _f64_to_df(invs)
+    kdh, kdl = _f64_to_df(kd)
+    ksh, ksl = _f64_to_df(ks)
     n1h, n1l = _f64_to_df(nat1)
     blocks = [
         _blockify(kdh, nb, l, 1.0),
         _blockify(kdl, nb, l, 0.0),
-        _blockify(nb2h, nb, l, 0.0),
-        _blockify(nb2l, nb, l, 0.0),
-        _blockify(ksth, nb, l, 0.0),
-        _blockify(kstl, nb, l, 0.0),
-        _blockify(invsh, nb, l, 1.0),
-        _blockify(invsl, nb, l, 0.0),
+        _blockify(ksh, nb, l, 0.0),
+        _blockify(ksl, nb, l, 0.0),
         _blockify(n1h, nb, l, 0.0),
         _blockify(n1l, nb, l, 0.0),
     ]
@@ -703,9 +732,9 @@ def dist_q_1d_planes(nat1: jnp.ndarray, nat2d: jnp.ndarray, nat2s: jnp.ndarray):
     covs_b, a_b, w_b, mu_b, v_b = pl.pallas_call(
         _dist_q_kernel,
         out_shape=[plane] * 5,
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 10,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 6,
         out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 5,
-        scratch_shapes=[pltpu.VMEM((l, SUB, nb // SUB), jnp.float32)] * 6,
+        scratch_shapes=[pltpu.VMEM((l, SUB, nb // SUB), jnp.float32)] * 12,
         interpret=_interpret(),
     )(*blocks)
     covs = _unblockify(covs_b, n)
