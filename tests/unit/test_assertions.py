@@ -1,0 +1,75 @@
+"""Constructor-validation tests.
+
+Mirrors the reference's tests/unit/test_matern_assertions.py: non-positive
+concrete hyperparameters raise ``ValueError`` at construction, while
+traced (jit/vmap/grad) construction is never blocked.
+"""
+import jax
+import jax.numpy as jnp
+import pytest
+
+from vi_diffusion_processes_tpu.kernels.matern import (
+    Matern12,
+    Matern32,
+    Matern52,
+    OrnsteinUhlenbeck,
+)
+from vi_diffusion_processes_tpu.kernels.misc import Constant, HarmonicOscillator
+from vi_diffusion_processes_tpu.likelihoods.gaussian import Gaussian
+
+MATERNS = [Matern12, Matern32, Matern52]
+
+
+@pytest.mark.parametrize("cls", MATERNS)
+def test_matern_zero_lengthscale_raises(cls):
+    with pytest.raises(ValueError, match="lengthscale must be positive"):
+        cls(lengthscale=jnp.asarray(0.0), variance=jnp.asarray(1.0))
+
+
+@pytest.mark.parametrize("cls", MATERNS)
+def test_matern_negative_variance_raises(cls):
+    with pytest.raises(ValueError, match="variance must be positive"):
+        cls(lengthscale=jnp.asarray(1.0), variance=jnp.asarray(-1.0))
+
+
+def test_ou_nonpositive_params_raise():
+    with pytest.raises(ValueError, match="decay must be positive"):
+        OrnsteinUhlenbeck(decay=jnp.asarray(0.0), diffusion=jnp.asarray(1.0))
+    with pytest.raises(ValueError, match="diffusion must be positive"):
+        OrnsteinUhlenbeck(decay=jnp.asarray(1.0), diffusion=jnp.asarray(-2.0))
+
+
+def test_constant_and_harmonic_validation():
+    with pytest.raises(ValueError, match="variance must be positive"):
+        Constant(variance=jnp.asarray(0.0))
+    with pytest.raises(ValueError, match="period must be positive"):
+        HarmonicOscillator(variance=jnp.asarray(1.0), period=jnp.asarray(0.0))
+
+
+def test_gaussian_likelihood_validation():
+    with pytest.raises(ValueError, match="variance must be positive"):
+        Gaussian(variance=jnp.asarray(-0.1))
+
+
+def test_validation_skips_tracers():
+    """Rebuilding pytrees with tracer leaves inside jit/grad must not raise
+    even when the traced value would be invalid at runtime — the guard only
+    fires on concrete user inputs."""
+
+    def gram_diag(ls):
+        k = Matern32(lengthscale=ls, variance=jnp.asarray(1.0))
+        a = k.state_transitions(None, jnp.asarray([0.5]))
+        return jnp.sum(a)
+
+    out = jax.jit(gram_diag)(jnp.asarray(2.0))
+    g = jax.grad(gram_diag)(jnp.asarray(2.0))
+    assert jnp.isfinite(out) and jnp.isfinite(g)
+    # vmap over a batch that contains a non-positive entry: traced, no raise
+    batched = jax.vmap(gram_diag)(jnp.asarray([1.0, 2.0]))
+    assert batched.shape == (2,)
+
+
+def test_validation_survives_tree_map():
+    k = Matern52(lengthscale=jnp.asarray(1.5), variance=jnp.asarray(0.7))
+    k2 = jax.tree_util.tree_map(lambda x: x * 2, k)
+    assert float(k2.lengthscale) == pytest.approx(3.0)

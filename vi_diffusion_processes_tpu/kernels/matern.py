@@ -18,9 +18,17 @@ from typing import Optional
 import jax.numpy as jnp
 from flax import struct
 
+from ..utils.validation import check_positive
 from .base import StationaryKernel
 
 __all__ = ["Matern12", "Matern32", "Matern52", "OrnsteinUhlenbeck"]
+
+
+def _check_lengthscale_and_variance(kernel) -> None:
+    """Constructor guard (matern.py:521-526): non-positive concrete
+    hyperparameters raise; tracers are skipped (see utils/validation.py)."""
+    check_positive(kernel.lengthscale, "lengthscale")
+    check_positive(kernel.variance, "variance")
 
 
 @struct.dataclass
@@ -31,6 +39,9 @@ class Matern12(StationaryKernel):
     lengthscale: jnp.ndarray
     variance: jnp.ndarray
     state_mean: Optional[jnp.ndarray] = None
+
+    def __post_init__(self):
+        _check_lengthscale_and_variance(self)
 
     @property
     def state_dim(self) -> int:
@@ -57,6 +68,10 @@ class OrnsteinUhlenbeck(StationaryKernel):
     diffusion: jnp.ndarray
     state_mean: Optional[jnp.ndarray] = None
 
+    def __post_init__(self):
+        check_positive(self.decay, "decay")
+        check_positive(self.diffusion, "diffusion")
+
     @property
     def state_dim(self) -> int:
         return 1
@@ -80,6 +95,9 @@ class Matern32(StationaryKernel):
     lengthscale: jnp.ndarray
     variance: jnp.ndarray
     state_mean: Optional[jnp.ndarray] = None
+
+    def __post_init__(self):
+        _check_lengthscale_and_variance(self)
 
     @property
     def state_dim(self) -> int:
@@ -121,6 +139,9 @@ class Matern52(StationaryKernel):
     lengthscale: jnp.ndarray
     variance: jnp.ndarray
     state_mean: Optional[jnp.ndarray] = None
+
+    def __post_init__(self):
+        _check_lengthscale_and_variance(self)
 
     @property
     def state_dim(self) -> int:

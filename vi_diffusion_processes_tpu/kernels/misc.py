@@ -13,6 +13,7 @@ from flax import struct
 from jax.scipy.linalg import expm
 
 from ..utils.linalg import transpose_last
+from ..utils.validation import check_positive
 from .base import StationaryKernel
 
 __all__ = ["Constant", "HarmonicOscillator", "LatentExponentiallyGenerated"]
@@ -24,6 +25,9 @@ class Constant(StationaryKernel):
 
     variance: jnp.ndarray
     state_mean: Optional[jnp.ndarray] = None
+
+    def __post_init__(self):
+        check_positive(self.variance, "variance")
 
     @property
     def state_dim(self) -> int:
@@ -53,6 +57,10 @@ class HarmonicOscillator(StationaryKernel):
     variance: jnp.ndarray
     period: jnp.ndarray
     state_mean: Optional[jnp.ndarray] = None
+
+    def __post_init__(self):
+        check_positive(self.variance, "variance")
+        check_positive(self.period, "period")
 
     @property
     def state_dim(self) -> int:

@@ -24,6 +24,11 @@ class Gaussian(Likelihood):
 
     variance: jnp.ndarray
 
+    def __post_init__(self):
+        from ..utils.validation import check_positive
+
+        check_positive(self.variance, "variance")
+
     def _elementwise_log_prob(self, f, y):
         return -0.5 * (_LOG2PI + jnp.log(self.variance) + (y - f) ** 2 / self.variance)
 
