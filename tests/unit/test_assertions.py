@@ -69,6 +69,21 @@ def test_validation_skips_tracers():
     assert batched.shape == (2,)
 
 
+def test_to_delta_time_unsorted_raises():
+    """Eager unsorted grids raise; traced grids don't (markovflow/utils.py:88
+    ``assert_non_negative`` parity, tests/unit parity of the reference's
+    ``test_to_delta_time_positive_difference``)."""
+    from vi_diffusion_processes_tpu.utils.shapes import to_delta_time
+
+    with pytest.raises(ValueError, match="non-decreasing"):
+        to_delta_time(jnp.asarray([0.0, 2.0, 1.0]))
+    out = to_delta_time(jnp.asarray([0.0, 1.0, 2.5]))
+    assert out.shape == (2,)
+    # traced: no raise even for an unsorted concrete operand
+    jitted = jax.jit(to_delta_time)(jnp.asarray([0.0, 2.0, 1.0]))
+    assert jitted.shape == (2,)
+
+
 def test_validation_survives_tree_map():
     k = Matern52(lengthscale=jnp.asarray(1.5), variance=jnp.asarray(0.7))
     k2 = jax.tree_util.tree_map(lambda x: x * 2, k)

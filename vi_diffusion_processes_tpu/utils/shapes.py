@@ -1,16 +1,25 @@
 """Shape/grid helpers (JAX equivalents of markovflow/utils.py:88-157)."""
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 
 def to_delta_time(time_points: jnp.ndarray) -> jnp.ndarray:
     """Convert a sorted time grid ``[..., N+1]`` into deltas ``[..., N]``.
 
-    The reference asserts Δt ≥ 0 (markovflow/utils.py:88); under jit we do
-    not assert, the caller is responsible for sorted grids.
+    The reference asserts Δt ≥ 0 (markovflow/utils.py:88).  Under jit the
+    values are symbolic and the caller is responsible for sorted grids; on
+    concrete (eager) inputs an unsorted grid raises ``ValueError`` just like
+    the reference's ``tf.debugging.assert_non_negative``.
     """
-    return time_points[..., 1:] - time_points[..., :-1]
+    deltas = time_points[..., 1:] - time_points[..., :-1]
+    if not isinstance(deltas, jax.core.Tracer):
+        import numpy as np
+
+        if deltas.size and float(np.min(np.asarray(deltas))) < 0.0:
+            raise ValueError("time_points must be non-decreasing (Δt ≥ 0).")
+    return deltas
 
 
 def augment_matrix(matrix: jnp.ndarray, extra_dim: int) -> jnp.ndarray:
