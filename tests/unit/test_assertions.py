@@ -88,3 +88,43 @@ def test_validation_survives_tree_map():
     k = Matern52(lengthscale=jnp.asarray(1.5), variance=jnp.asarray(0.7))
     k2 = jax.tree_util.tree_map(lambda x: x * 2, k)
     assert float(k2.lengthscale) == pytest.approx(3.0)
+
+
+def test_validation_skips_internal_reconstruction():
+    """optax moment trees (zeros), grad cotangents (sign-free), and jit
+    outputs all rebuild the kernel pytree with concrete values that are not
+    user inputs — unflatten must bypass the constructor guards.  Regression
+    test for the gpr_regression example breaking at ``opt.init(kernel)``."""
+    import optax
+
+    k = Matern32(lengthscale=jnp.asarray(1.0), variance=jnp.asarray(1.0))
+
+    # optax init: zero-valued kernel-shaped trees
+    opt = optax.adam(0.05)
+    state = opt.init(k)
+
+    # grad: cotangent pytree with negative entries
+    def loss(kk):
+        a = kk.state_transitions(None, jnp.asarray([0.5, 1.0]))
+        return jnp.sum((a - 1.0) ** 2)
+
+    g = jax.grad(loss)(k)
+    updates, state = opt.update(g, state)
+    k2 = optax.apply_updates(k, updates)  # unflatten with arbitrary signs
+    assert jnp.isfinite(k2.lengthscale)
+
+    # jit whose *output* is a kernel pytree carrying a non-positive leaf
+    neg = jax.jit(lambda kk: jax.tree_util.tree_map(lambda x: -x, kk))(k)
+    assert float(neg.lengthscale) == -1.0
+
+    # flax serialization round trip still works through the custom node
+    from flax import serialization
+
+    restored = serialization.from_state_dict(k, serialization.to_state_dict(k2))
+    assert float(restored.lengthscale) == pytest.approx(float(k2.lengthscale))
+
+    # ... while genuine construction still validates
+    with pytest.raises(ValueError, match="lengthscale must be positive"):
+        Matern32(lengthscale=jnp.asarray(-1.0), variance=jnp.asarray(1.0))
+    with pytest.raises(ValueError, match="variance must be positive"):
+        k.replace(variance=jnp.asarray(0.0))

@@ -16,9 +16,9 @@ from __future__ import annotations
 from typing import Optional
 
 import jax.numpy as jnp
-from flax import struct
+from flax import struct  # noqa: F401  (kept for subclasses without guards)
 
-from ..utils.validation import check_positive
+from ..utils.validation import check_positive, validated_dataclass
 from .base import StationaryKernel
 
 __all__ = ["Matern12", "Matern32", "Matern52", "OrnsteinUhlenbeck"]
@@ -31,7 +31,7 @@ def _check_lengthscale_and_variance(kernel) -> None:
     check_positive(kernel.variance, "variance")
 
 
-@struct.dataclass
+@validated_dataclass
 class Matern12(StationaryKernel):
     """Matern 1/2 (exponential) kernel: ``d=1``, ``A = e^{−Δt/ℓ}``
     (matern.py:27-128)."""
@@ -59,7 +59,7 @@ class Matern12(StationaryKernel):
         return jnp.exp(-time_deltas / self.lengthscale)[..., None, None]
 
 
-@struct.dataclass
+@validated_dataclass
 class OrnsteinUhlenbeck(StationaryKernel):
     """OU kernel in decay/diffusion parameterization (matern.py:130-234):
     ``dx = −λx dt + √q dW``, ``P∞ = q / 2λ``."""
@@ -88,7 +88,7 @@ class OrnsteinUhlenbeck(StationaryKernel):
         return jnp.exp(-self.decay * time_deltas)[..., None, None]
 
 
-@struct.dataclass
+@validated_dataclass
 class Matern32(StationaryKernel):
     """Matern 3/2: ``d=2``, ``λ = √3/ℓ`` (matern.py:237-374)."""
 
@@ -132,7 +132,7 @@ class Matern32(StationaryKernel):
         return jnp.exp(-lam * dt) * (eye + dt * m)
 
 
-@struct.dataclass
+@validated_dataclass
 class Matern52(StationaryKernel):
     """Matern 5/2: ``d=3``, ``λ = √5/ℓ`` (matern.py:376-518)."""
 

@@ -13,13 +13,13 @@ from flax import struct
 from jax.scipy.linalg import expm
 
 from ..utils.linalg import transpose_last
-from ..utils.validation import check_positive
+from ..utils.validation import check_positive, validated_dataclass
 from .base import StationaryKernel
 
 __all__ = ["Constant", "HarmonicOscillator", "LatentExponentiallyGenerated"]
 
 
-@struct.dataclass
+@validated_dataclass
 class Constant(StationaryKernel):
     """Constant GP: ``d=1``, ``A=1``, ``Q=0``, ``P∞ = σ²`` (constant.py:28)."""
 
@@ -49,7 +49,7 @@ class Constant(StationaryKernel):
         return a_s, jnp.zeros_like(a_s)
 
 
-@struct.dataclass
+@validated_dataclass
 class HarmonicOscillator(StationaryKernel):
     """Deterministic periodic oscillation: ``d=2``, rotation transitions,
     ``Q=0``, ``P∞ = σ²I`` (periodic.py:27-174)."""

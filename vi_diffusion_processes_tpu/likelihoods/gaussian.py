@@ -18,7 +18,10 @@ __all__ = ["Gaussian", "MultivariateGaussian"]
 _LOG2PI = float(jnp.log(2.0 * jnp.pi))
 
 
-@struct.dataclass
+from ..utils.validation import validated_dataclass
+
+
+@validated_dataclass
 class Gaussian(Likelihood):
     """``p(y|f) = N(y; f, σ²)`` with scalar variance σ² (trainable leaf)."""
 
