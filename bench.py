@@ -114,14 +114,19 @@ def bench_tpu(grid_size: int = 100_000, n_steps: int = 256, inner: int = 8) -> f
     state, elbo = run_inner(state, 0.3)
     jax.block_until_ready(elbo)
 
-    t0 = time.perf_counter()
-    done = 0
-    while done < n_steps:
-        state, elbo = run_inner(state, 0.3)
-        done += inner
-    jax.block_until_ready(elbo)
-    dt = (time.perf_counter() - t0) / done
-    return dt, float(elbo)
+    # best of 3 passes: each dispatch rides the axon host↔TPU tunnel, whose
+    # latency jitters across seconds-long windows — the fastest full pass is
+    # the sustained-throughput number (device time per step is stable)
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        done = 0
+        while done < n_steps:
+            state, elbo = run_inner(state, 0.3)
+            done += inner
+        jax.block_until_ready(elbo)
+        best = min(best, (time.perf_counter() - t0) / done)
+    return best, float(elbo)
 
 
 def bench_cpp_baseline(grid_size: int = 100_000, n_reps: int = 5) -> float:
@@ -159,9 +164,14 @@ def bench_cpp_baseline(grid_size: int = 100_000, n_reps: int = 5) -> float:
     wp = w.ctypes.data_as(ctypes.POINTER(ctypes.c_double))
     n_obs = max(1, grid_size // 50)  # same density as bench_tpu's grid
     lib.baseline_cvi_dp_step_1d(grid_size, n_obs, 1, zp, wp, 20)  # warmup
-    t0 = time.perf_counter()
-    lib.baseline_cvi_dp_step_1d(grid_size, n_obs, n_reps, zp, wp, 20)
-    return (time.perf_counter() - t0) / n_reps
+    # min over reps: the single-thread loop is sensitive to transient box
+    # load, and the least-contended rep is the honest (fastest) baseline
+    best = float("inf")
+    for _ in range(n_reps):
+        t0 = time.perf_counter()
+        lib.baseline_cvi_dp_step_1d(grid_size, n_obs, 1, zp, wp, 20)
+        best = min(best, time.perf_counter() - t0)
+    return best
 
 
 def bench_numpy_baseline(grid_size: int = 100_000, n_reps: int = 2) -> float:
