@@ -41,6 +41,9 @@ __all__ = [
     "atri_inv_lower",
     "ainv_pd",
     "ainv_ipl",
+    "alogdet_ipl",
+    "avdot",
+    "aquad_form",
     "aeye",
 ]
 
@@ -169,3 +172,25 @@ def ainv_ipl(p: jnp.ndarray, lam: jnp.ndarray) -> jnp.ndarray:
     m = aeye(p.shape[0], p[0, 0]) + amm(amt(u), pu)
     m_inv = ainv_pd(m, guarded=True)
     return aeye(p.shape[0], p[0, 0]) - amm(pu, amm(m_inv, amt(u)))
+
+
+def alogdet_ipl(p: jnp.ndarray, lam: jnp.ndarray) -> jnp.ndarray:
+    """``log|I + P·Λ|`` for PSD ``P``, PSD ``Λ`` — any static d via
+    ``det(I + PUUᵀ) = det(I + UᵀPU)`` and the Cholesky-diagonal log-det
+    (chmat.logdet_ipl semantics; ``I + UᵀPU ⪰ I`` so the unguarded pivot
+    sqrt is safe)."""
+    u = achol_psd(lam)
+    m = aeye(p.shape[0], p[0, 0]) + amm(amt(u), amm(p, u))
+    lm = achol(m)
+    d = p.shape[0]
+    return 2.0 * sum(jnp.log(lm[i, i]) for i in range(d))
+
+
+def avdot(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """``aᵀ b`` over the leading channel axis: ``[d, ...] × [d, ...] → [...]``."""
+    return jnp.sum(a * b, axis=0)
+
+
+def aquad_form(v: jnp.ndarray, a: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
+    """``vᵀ A w`` on channel operands."""
+    return avdot(v, amv(a, w))

@@ -170,11 +170,13 @@ CH_THRESHOLD = 4096
 
 #: channelized path state-dim ceiling.  d ≤ 3 uses adjugate inverses; 4 ≤ d
 #: ≤ CH_MAX_DIM routes every inverse through PD Cholesky/Woodbury forms
-#: (chmat.inv_ipl/minv_pd) — covers kernel sums (Matern52+Matern12 → d=4)
-#: and small spatio-temporal state dims.  Beyond this the unrolled channel
-#: algebra (O(d³) scalar ops per compose) stops paying for itself and the
-#: dense [T,d,d] path takes over.
-CH_MAX_DIM = 8
+#: (achmat.ainv_ipl/ainv_pd on packed ``[d,d,nb]`` arrays — O(d²) HLO per
+#: compose) — covers kernel sums (Matern52+Matern12 → d=4) and
+#: reference-scale spatio-temporal state dims (M_space=7 × Matern32 →
+#: d=14, docs/notebooks/spatio_temporal.py:19-28).  Beyond this the
+#: ``[d,d]`` channel blocks outgrow VPU-friendly unrolled Cholesky pivots
+#: and the dense [T,d,d] path takes over.
+CH_MAX_DIM = 16
 
 
 def _ch_eligible(ssm: StateSpaceModel, nat1: jnp.ndarray) -> bool:
@@ -663,10 +665,32 @@ def site_log_normalizer_ch(
     filt: FilterResult, nat1: jnp.ndarray, nat2_prec: jnp.ndarray
 ) -> jnp.ndarray:
     """Channelized `site_log_normalizer` (same closed form, scalar channels;
-    ``(I+PΛ)⁻¹`` and ``log|I+PΛ|`` are PD-routed for any static d)."""
+    ``(I+PΛ)⁻¹`` and ``log|I+PΛ|`` are PD-routed for any static d).
+
+    d ≥ ARRAY_COMPOSE_MIN_DIM uses the packed array-channel algebra — the
+    tuple form emits O(d³) separate HLO ops per product, which at d ≥ 10
+    bloats the graph for no runtime benefit."""
     from ..ops import chmat as cm
 
     d = nat1.shape[-1]
+    if d >= ARRAY_COMPOSE_MIN_DIM:
+        from ..ops import achmat as am
+
+        p = _to_ach_mat(filt.pred_covs)  # [d, d, N+1]
+        m = _to_ach_vec(filt.pred_means)  # [d, N+1]
+        th = _to_ach_vec(nat1)
+        lm = _to_ach_mat(nat2_prec)
+        ipl_inv = am.ainv_ipl(p, lm)
+        logdet = am.alogdet_ipl(p, lm)
+        m_prime = am.amv(ipl_inv, m)
+        p_prime = am.amm(ipl_inv, p)
+        per_step = (
+            -0.5 * logdet
+            - 0.5 * am.aquad_form(m, lm, m_prime)
+            + am.avdot(th, m_prime)
+            + 0.5 * am.aquad_form(th, p_prime, th)
+        )
+        return jnp.sum(per_step, axis=-1)
     p = cm.mat_to_ch(filt.pred_covs)
     m = cm.vec_to_ch(filt.pred_means)
     th = cm.vec_to_ch(nat1)

@@ -116,13 +116,29 @@ def base_conditional_predict(
     adjacent_states: jnp.ndarray,
     pairwise_state_covariances: Optional[jnp.ndarray] = None,
 ):
-    """``p(x_t) = N(P m, T + P S Pᵀ)`` (conditionals.py:380-421)."""
-    means = matvec_small(conditional_projections, adjacent_states)
+    """``p(x_t) = N(P m, T + P S Pᵀ)`` (conditionals.py:380-421).
+
+    The pairwise-joint operands are ``2d``-sized; for d ≤ 8 the unrolled
+    scalar-channel form still beats XLA's padded stack-matmul lowering on
+    TPU, so these call sites opt in to the doubled unroll ceiling (see
+    ``utils.linalg.matmul_small``).
+    """
+    from ..utils.linalg import _UNROLL_MAX_DIM
+
+    pairwise_unroll = 2 * _UNROLL_MAX_DIM
+    means = matvec_small(
+        conditional_projections, adjacent_states, max_unroll=pairwise_unroll
+    )
     covs = conditional_covariances
     if pairwise_state_covariances is not None:
         covs = covs + matmul_small(
-            matmul_small(conditional_projections, pairwise_state_covariances),
+            matmul_small(
+                conditional_projections,
+                pairwise_state_covariances,
+                max_unroll=pairwise_unroll,
+            ),
             transpose_last(conditional_projections),
+            max_unroll=pairwise_unroll,
         )
     return means, covs
 

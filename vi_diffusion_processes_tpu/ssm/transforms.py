@@ -150,14 +150,16 @@ def naturals_to_ssm_params(theta_linear, theta_diag, theta_sub):
         # O(log N)-depth Möbius-scan fast path for the CVI hot loop
         d_blocks, u_super = btd_udu_parallel_1d(prec)
     elif (
-        2 <= d <= 8
+        2 <= d <= 16
         and theta_diag.ndim == 3
         and theta_diag.dtype == jnp.float64
         and theta_diag.shape[0] >= 4096
     ):
-        # 2 ≤ d ≤ 8 long grids: channelized Schur-segment scan (all pivots
-        # PD; d ≥ 4 inverses are PD-Cholesky-routed inside udu_channels —
-        # covers kernel-sum and small spatio-temporal state dims)
+        # 2 ≤ d ≤ 16 long grids: channelized Schur-segment scan (all pivots
+        # PD; d ≥ 4 inverses are PD-Cholesky-routed on packed [d,d,nb]
+        # arrays inside udu_channels — covers kernel-sum and
+        # reference-scale spatio-temporal state dims, matching
+        # parallel/pskf.py::CH_MAX_DIM)
         d_blocks, u_super = btd_udu_parallel_ch(prec)
     else:
         d_blocks, u_super = btd_udu(prec)

@@ -169,21 +169,27 @@ def _chol_unrolled(x: jnp.ndarray) -> jnp.ndarray:
     return jnp.stack(rows, axis=-2)
 
 
-def matmul_small(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+def matmul_small(
+    a: jnp.ndarray, b: jnp.ndarray, *, max_unroll: int = _UNROLL_MAX_DIM
+) -> jnp.ndarray:
     """Batched matmul over the last two axes, unrolled for tiny blocks.
 
     XLA lowers batched ``[N,d,d] @ [N,d,d]`` matmuls to convolution
     fusions that are bound by the 64× tile padding of the operands
     (~1 ms each at N=1e5, d=2 on v5e); the unrolled scalar-channel sum is
-    ~10× faster.  Falls back to ``@`` beyond ``d = 8``.
+    ~10× faster.  Falls back to ``@`` beyond ``max_unroll``.
+
+    ``max_unroll`` defaults to ``_UNROLL_MAX_DIM``: unrolling d=10+ blocks
+    at every call site under ``jax.grad`` produced 170k-line HLO graphs
+    (>30 min cold XLA compiles for the d=10 spatio-temporal ELBO).  Hot
+    call sites on pairwise-joint ``2d×2d`` blocks (d ≤ 8 → size ≤ 16,
+    e.g. ssm/conditionals.py) opt in with ``max_unroll=2*_UNROLL_MAX_DIM``
+    — XLA's stack-matmul lowering is a while loop with f32→bf16x3
+    emulation over padded operands (~8 ms per [20k,12,12] product on v5e).
     """
     m, k = a.shape[-2], a.shape[-1]
     k2, n = b.shape[-2], b.shape[-1]
-    # pairwise-joint blocks are 2d×2d, so the matmul ceiling is twice the
-    # chol/solve one; XLA's stack-matmul lowering is a while loop with
-    # f32→bf16x3 emulation over the padded operands (~8 ms per [20k,12,12]
-    # product measured on v5e)
-    if max(m, k, n) > 2 * _UNROLL_MAX_DIM:
+    if max(m, k, n) > max_unroll:
         return a @ b
     rows = []
     for i in range(m):
@@ -197,16 +203,20 @@ def matmul_small(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     return jnp.stack(rows, axis=-2)
 
 
-def matvec_small(a: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
+def matvec_small(
+    a: jnp.ndarray, v: jnp.ndarray, *, max_unroll: int = _UNROLL_MAX_DIM
+) -> jnp.ndarray:
     """Batched ``A v`` over the last axes, unrolled for tiny blocks.
 
     ``a: [..., m, k]``, ``v: [..., k]`` → ``[..., m]``.  The einsum/dot
     lowering of stack matvecs is the same while-loop MXU emulation as stack
     matmuls (see :func:`matmul_small`); the unrolled sum is fusible VPU work.
-    Falls back to einsum beyond ``2·_UNROLL_MAX_DIM``.
+    Falls back to einsum beyond ``max_unroll`` (see :func:`matmul_small`
+    for the compile-cost rationale; pairwise-block call sites opt in to
+    ``2·_UNROLL_MAX_DIM``).
     """
     m, k = a.shape[-2], a.shape[-1]
-    if max(m, k) > 2 * _UNROLL_MAX_DIM:
+    if max(m, k) > max_unroll:
         return jnp.einsum("...ij,...j->...i", a, v)
     rows = []
     for i in range(m):
