@@ -232,13 +232,18 @@ def main():
     assert np.isfinite(elbo), f"benchmark ELBO is not finite: {elbo}"
     try:
         baseline = bench_cpp_baseline(grid_size)
+        baseline_kind = "cpp"
     except Exception:
+        # NumPy stand-in is ~an order of magnitude slower than the C++
+        # baseline; record which one ran so vs_baseline is interpretable.
         baseline = bench_numpy_baseline(grid_size)
+        baseline_kind = "numpy"
     result = {
         "metric": "cvi_dp_full_natgrad_step_100k_grid",
         "value": round(1.0 / step_time, 3),
         "unit": "steps/sec",
         "vs_baseline": round(baseline / step_time, 2),
+        "baseline": baseline_kind,
     }
     print(json.dumps(result))
 

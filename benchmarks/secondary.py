@@ -167,13 +167,21 @@ def vdp_100k():
         (grid[obs_idx], obs_y), sde, grid, Gaussian(variance=jnp.asarray(0.04, dtype))
     )
 
-    @jax.jit
-    def run(m):
-        return m.inference_step(1e-6)
+    # packed (rank-1 buffer) hot loop — what VDPTrainer runs for d=1
+    from vi_diffusion_processes_tpu.models.vdp_packed import (
+        pack_vdp,
+        packed_inference_step,
+    )
 
-    m = run(vdp)
-    jax.block_until_ready(m.A)
-    dt = _time(run, m)
+    state = jax.jit(pack_vdp)(vdp)
+
+    @jax.jit
+    def run(st):
+        return packed_inference_step(vdp, st, 1e-6)
+
+    st = run(state)
+    jax.block_until_ready(st.a)
+    dt = _time(run, st)
     return {"metric": "vdp_inference_step_100k", "value": round(1 / dt, 2), "unit": "steps/sec"}
 
 
@@ -318,6 +326,49 @@ def spatio_temporal_cvi_10k():
             "value": round(1 / dt, 2), "unit": "steps/sec"}
 
 
+def spatio_temporal_cvi_d14_10k():
+    """Reference-notebook scale spatio-temporal CVI: M=7 spatial inducing
+    points × Matern32 time → state_dim 14 (docs/notebooks/spatio_temporal.py:19-28),
+    Mt=10k inducing time points, 20k observations — exercises the packed
+    array-channel filter/UDU' past d=8."""
+    jax = _setup()
+    import jax.numpy as jnp
+
+    from vi_diffusion_processes_tpu.kernels.matern import Matern32
+    from vi_diffusion_processes_tpu.kernels.spatial import SpatialRBF
+    from vi_diffusion_processes_tpu.likelihoods.gaussian import Gaussian
+    from vi_diffusion_processes_tpu.models.spatio_temporal import (
+        SpatioTemporalSparseCVI,
+    )
+
+    n, mt = 20_000, 10_000
+    rng = np.random.default_rng(0)
+    x_space = rng.uniform(0, 1, size=(n, 1))
+    t = np.sort(rng.uniform(0, 100.0, size=n))
+    y = jnp.asarray(
+        (np.sin(2 * t) * np.cos(3 * x_space[:, 0]) + 0.1 * rng.normal(size=n))[:, None]
+    )
+    inputs = jnp.asarray(np.concatenate([x_space, t[:, None]], axis=-1))
+    z_space = jnp.linspace(0.05, 0.95, 7)[:, None]
+    z_time = jnp.linspace(0.0, 100.0, mt)
+    model = SpatioTemporalSparseCVI.initialize(
+        z_space, z_time,
+        SpatialRBF(variance=jnp.asarray(1.0), lengthscale=jnp.asarray(0.5)),
+        Matern32(lengthscale=jnp.asarray(5.0), variance=jnp.asarray(1.0)),
+        Gaussian(variance=jnp.asarray(0.05)), learning_rate=0.5,
+    )
+
+    @jax.jit
+    def run(m):
+        return m.update_sites((inputs, y))
+
+    m = run(model)
+    jax.block_until_ready(m.nat1)
+    dt = _time(run, m, n=8)
+    return {"metric": "spatio_temporal_cvi_d14_site_step_10k",
+            "value": round(1 / dt, 2), "unit": "steps/sec"}
+
+
 def cvi_dp_1m():
     """The 1M-point long-context configuration (README's scaling claim) as
     a first-class bench: the same full natgrad step as ``bench.py``'s
@@ -337,10 +388,30 @@ ALL = {"gpr_100k": gpr_100k, "cvi_poisson_100k": cvi_poisson_100k,
        "vanderpol_cvi_dp_100k": vanderpol_cvi_dp_100k,
        "gpr_d4_sum_100k": gpr_d4_sum_100k,
        "spatio_temporal_cvi_10k": spatio_temporal_cvi_10k,
+       "spatio_temporal_cvi_d14_10k": spatio_temporal_cvi_d14_10k,
        "cvi_dp_1m": cvi_dp_1m}
 
 
 if __name__ == "__main__":
-    names = sys.argv[1:] or list(ALL)
+    argv = sys.argv[1:]
+    write_artifact = "--write" in argv
+    names = [a for a in argv if a != "--write"] or list(ALL)
+    results = []
     for name in names:
-        print(json.dumps(ALL[name]()), flush=True)
+        res = ALL[name]()
+        results.append(res)
+        print(json.dumps(res), flush=True)
+    if write_artifact:
+        # machine-readable artifact so README numbers are regression-checkable
+        out = pathlib.Path(__file__).resolve().parents[1] / "BENCH_SECONDARY.json"
+        import platform as _platform
+
+        import jax as _jax
+
+        payload = {
+            "device": str(_jax.devices()[0]),
+            "host": _platform.machine(),
+            "results": results,
+        }
+        out.write_text(json.dumps(payload, indent=2) + "\n")
+        print(f"wrote {out}", flush=True)

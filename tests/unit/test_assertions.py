@@ -128,3 +128,20 @@ def test_validation_skips_internal_reconstruction():
         Matern32(lengthscale=jnp.asarray(-1.0), variance=jnp.asarray(1.0))
     with pytest.raises(ValueError, match="variance must be positive"):
         k.replace(variance=jnp.asarray(0.0))
+
+
+def test_from_state_dict_restores_optimizer_state():
+    """Restoring a flax-serialized optax state (zero-valued kernel-shaped
+    moment trees) must not re-run constructor positivity guards."""
+    import optax
+    from flax import serialization
+
+    from vi_diffusion_processes_tpu.kernels.matern import Matern32
+
+    k = Matern32(lengthscale=jnp.asarray(1.0), variance=jnp.asarray(1.0))
+    opt = optax.adam(0.05)
+    state = opt.init(k)  # mu/nu trees are all-zero Matern32 instances
+    blob = serialization.to_state_dict(state)
+    restored = serialization.from_state_dict(state, blob)
+    mu = restored[0].mu
+    assert float(mu.lengthscale) == 0.0 and float(mu.variance) == 0.0

@@ -179,21 +179,41 @@ class VDPTrainer:
     elbo_trace: List[float] = field(default_factory=list)
 
     def __post_init__(self):
-        self._step = jax.jit(lambda m, lr, x0_lr: m.inference_step(lr, x0_lr))
-        self._elbo = jax.jit(lambda m: m.elbo())
+        # d=1 models run on the packed (structure-of-scalars) hot loop —
+        # rank-1 buffers only, equivalence-tested vs the generic step
+        # (models/vdp_packed.py, tests/unit/test_vdp_packed.py).  Both
+        # paths share a (model, carry) interface: the carry is the packed
+        # state when d=1, the model pytree itself otherwise.
+        self._packed = self.model.state_dim == 1
+        if self._packed:
+            from ..models.vdp_packed import packed_inference_step, packed_vdp_elbo
+
+            self._step = jax.jit(
+                lambda m, s, lr, x0_lr: packed_inference_step(m, s, lr, x0_lr)
+            )
+            self._elbo = jax.jit(packed_vdp_elbo)
+        else:
+            self._step = jax.jit(lambda m, s, lr, x0_lr: s.inference_step(lr, x0_lr))
+            self._elbo = jax.jit(lambda m, s: s.elbo())
         if self.learn_prior_sde:
             self._prior_opt = optax.adam(self.prior_sde_lr)
             self._prior_opt_state = self._prior_opt.init(self.model.prior_sde)
 
     def perform_inference(self) -> float:
+        if self._packed:
+            from ..models.vdp_packed import pack_vdp, unpack_vdp
+
+            carry = pack_vdp(self.model)
+        else:
+            carry = self.model
         # warmup at tiny lr (vi_markov_gp_trainer.py:100-104)
         for _ in range(self.warmup_steps):
-            self.model = self._step(self.model, self.warmup_lr, 0.0)
+            carry = self._step(self.model, carry, self.warmup_lr, 0.0)
         lr = self.lr
-        prev = float(self._elbo(self.model))
+        prev = float(self._elbo(self.model, carry))
         for _ in range(self.max_iters):
-            candidate = self._step(self.model, lr, self.x0_lr)
-            elbo = float(self._elbo(candidate))
+            candidate = self._step(self.model, carry, lr, self.x0_lr)
+            elbo = float(self._elbo(self.model, candidate))
             if jnp.isnan(elbo):
                 # revert and shrink the step (vi_markov_gp_trainer lr decay)
                 lr *= self.lr_decay
@@ -204,12 +224,13 @@ class VDPTrainer:
                 # accept but damp — VDP fixed-point steps transiently
                 # decrease the ELBO (the reference keeps iterating too)
                 lr = max(lr * self.lr_decay, 1e-4)
-            self.model = candidate
+            carry = candidate
             self.elbo_trace.append(elbo)
             if abs(elbo - prev) < self.elbo_tol:
                 prev = elbo
                 break
             prev = elbo
+        self.model = unpack_vdp(self.model, carry) if self._packed else carry
         return prev
 
     def optimize_prior_sde(self) -> None:

@@ -106,7 +106,16 @@ def validated_dataclass(clz):
                 f"Unknown field(s) {','.join(state)} in state dict while "
                 f"restoring {clz.__name__}"
             )
-        return x.replace(**updates)
+        # Rebuild with the same constructor bypass as unflatten: restored
+        # state is an internal reconstruction, not user input — e.g. a
+        # serialized optax moment tree holds zero-valued kernel-shaped
+        # leaves that would trip the positivity guards under ``.replace``.
+        obj = object.__new__(data_clz)
+        for n in data_fields:
+            object.__setattr__(obj, n, updates[n])
+        for n in meta_fields:
+            object.__setattr__(obj, n, getattr(x, n))
+        return obj
 
     serialization.register_serialization_state(data_clz, to_state_dict, from_state_dict)
     data_clz._flax_dataclass = True
