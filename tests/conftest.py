@@ -77,3 +77,10 @@ def state_dim(request):
 @pytest.fixture(params=[1, 5], ids=["n1", "n5"])
 def num_transitions(request):
     return request.param
+
+
+@pytest.fixture(params=[1, 2], ids=["out1", "out2"])
+def output_dim(request):
+    """Observation-space dimension axis of the reference's fixture grid
+    (tests/conftest.py:46-48)."""
+    return request.param

@@ -15,6 +15,12 @@ Config set (BASELINE.md "Parity/benchmark configs"):
   2. OU linear SDE: VDP ELBO trace (10 iterations) — for a linear SDE the
      converged ELBO equals the exact Kalman-smoother log-likelihood.
   3. Double-well CVI-DP on a 10k grid: natgrad ELBO trace (15 iterations).
+  4. Non-conjugate sparse CVI: Poisson counts, M=150 sparse pair-sites,
+     joint site-update ELBO trace (8 iterations) — reduced-grid CPU twin of
+     ``benchmarks/secondary.py::cvi_poisson_100k``.
+  5. Batched multi-trajectory double-well learning: vmapped CVI-DP natgrad
+     site steps over 3 trajectories + Adam drift learning on the shared
+     prior SDE (scale, c), mean-ELBO trace + learned parameters.
 """
 from __future__ import annotations
 
@@ -113,6 +119,133 @@ def _config_cvi_dp():
     return {"cvi_dp_elbos": np.asarray(out["elbos"], np.float64)}
 
 
+def _config_sparse_cvi_poisson():
+    """BASELINE config #4: non-conjugate (Poisson) CVI with sparse sites.
+
+    Reduced grid for a CPU-reproducible golden (the 100k-scale variant is
+    the ``benchmarks/secondary.py::cvi_poisson_100k`` perf entry); the
+    model path — pair-site naturals, back-projection through ``HP``,
+    segment-summed joint update (reference
+    sparse_variational_cvi.py:176-221) — is identical at any n.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from vi_diffusion_processes_tpu.kernels.matern import Matern32
+    from vi_diffusion_processes_tpu.likelihoods.discrete import Poisson
+    from vi_diffusion_processes_tpu.models.sparse_cvi import SparseCVIGaussianProcess
+
+    rng = np.random.default_rng(SEED + 4)
+    n, m = 4000, 150
+    t = jnp.asarray(np.sort(rng.uniform(0.0, 100.0, size=n)))
+    log_rate = np.sin(0.4 * np.asarray(t)) + 0.5
+    y = jnp.asarray(rng.poisson(np.exp(log_rate))[:, None].astype(np.float64))
+    z = jnp.linspace(-0.5, 100.5, m)
+
+    model = SparseCVIGaussianProcess.initialize(
+        Matern32(lengthscale=jnp.asarray(2.0), variance=jnp.asarray(1.0)),
+        Poisson(),
+        z,
+        learning_rate=0.8,
+    )
+    step = jax.jit(lambda mm: mm.update_sites((t, y)))
+    elbo = jax.jit(lambda mm: mm.classic_elbo((t, y)))
+    trace = []
+    for _ in range(8):
+        model = step(model)
+        trace.append(float(elbo(model)))
+    assert np.all(np.diff(trace) > -1e-6), trace
+    return {"sparse_poisson_elbos": np.asarray(trace, np.float64)}
+
+
+def _config_batched_learning():
+    """BASELINE config #5: batched multi-trajectory double-well learning.
+
+    Three double-well trajectories, vmapped CVI-DP natgrad site updates,
+    and joint drift learning — Adam on the shared prior SDE's (scale, c)
+    with per-trajectory ``∂(KL − VE)/∂θ_p`` summed over the batch
+    (reference cvi_dp_trainer.py:207-234 extended to a batch).
+    """
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from vi_diffusion_processes_tpu.likelihoods.gaussian import Gaussian
+    from vi_diffusion_processes_tpu.models.cvi_dp import CVISitesSDE
+    from vi_diffusion_processes_tpu.sde.utils import euler_maruyama
+    from vi_diffusion_processes_tpu.sde.zoo import DoubleWellSDE
+
+    batch, n = 3, 501
+    grid = jnp.linspace(0.0, 5.0, n)
+    true_sde = DoubleWellSDE(q_mat=jnp.asarray([[0.8]]))
+    key = jax.random.PRNGKey(SEED + 5)
+    rng = np.random.default_rng(SEED + 5)
+
+    models = []
+    # deliberately wrong initial drift params — learning must move them
+    init_sde = DoubleWellSDE(
+        q_mat=jnp.asarray([[0.8]]), scale=jnp.asarray(2.0), c=jnp.asarray(0.5)
+    )
+    for i in range(batch):
+        k = jax.random.fold_in(key, i)
+        path = euler_maruyama(true_sde, jnp.asarray([1.0]), grid, k)
+        obs_idx = np.arange(10, n - 1, 10)
+        obs_y = path[obs_idx] + 0.2 * jnp.asarray(rng.normal(size=(len(obs_idx), 1)))
+        models.append(
+            CVISitesSDE.initialize_sde(
+                init_sde, grid, (grid[obs_idx], obs_y),
+                Gaussian(variance=jnp.asarray(0.04)),
+            )
+        )
+    batched = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *models)
+
+    @jax.jit
+    def site_step(ms, lr):
+        def one(mm):
+            mm = mm.update_data_sites(lr).update_girsanov_sites(lr)
+            return mm, mm.classic_elbo()
+
+        return jax.vmap(one)(ms)
+
+    @jax.jit
+    def prior_grads(ms):
+        def one(mm):
+            g_kl = mm.grad_kl_wrt_prior_params()
+            g_ve = mm.grad_ve_wrt_prior_params()
+            return jax.tree_util.tree_map(lambda a, b: a + b, g_kl, g_ve)
+
+        per = jax.vmap(one)(ms)
+        return jax.tree_util.tree_map(lambda g: jnp.sum(g, axis=0), per)
+
+    @jax.jit
+    def rebase(ms, sde):
+        def one(mm, s):
+            # overwrite the batched prior leaves with the shared learned sde
+            return mm.replace(prior_sde=s).set_linearized_prior()
+
+        return jax.vmap(one, in_axes=(0, None))(ms, sde)
+
+    opt = optax.adam(0.05)
+    sde = init_sde
+    opt_state = opt.init(sde)
+    mean_trace = []
+    for _outer in range(3):
+        for _inner in range(5):
+            batched, elbos = site_step(batched, 0.5)
+            mean_trace.append(float(jnp.mean(elbos)))
+        grads = prior_grads(batched)
+        updates, opt_state = opt.update(grads, opt_state)
+        sde = optax.apply_updates(sde, updates)
+        batched = rebase(batched, sde)
+    assert np.isfinite(mean_trace).all()
+    return {
+        "batched_learning_elbos": np.asarray(mean_trace, np.float64),
+        "batched_learned_params": np.asarray(
+            [float(sde.scale), float(sde.c)], np.float64
+        ),
+    }
+
+
 def main():
     import jax
 
@@ -129,6 +262,8 @@ def main():
     traces.update(_config_gpr())
     traces.update(_config_vdp())
     traces.update(_config_cvi_dp())
+    traces.update(_config_sparse_cvi_poisson())
+    traces.update(_config_batched_learning())
     np.savez(GOLDEN_PATH, **traces)
     for k, v in traces.items():
         print(k, np.asarray(v).ravel()[:4])

@@ -89,6 +89,94 @@ def test_cvi_dp_ou_matches_exact_smoother(ou_case):
     np.testing.assert_allclose(s_q, smooth.covs, atol=2e-2)
 
 
+from flax import struct
+
+from vi_diffusion_processes_tpu.sde.zoo import _ConstantDiffusionSDE
+
+
+@struct.dataclass
+class RotatingOU2D(_ConstantDiffusionSDE):
+    """2-D linear SDE ``dx = −Γ x dt + dB`` with Γ = [[γ, −ω], [ω, γ]]
+    (a damped harmonic/rotating OU) — linear, so CVI-DP must converge to
+    the exact Kalman smoother of the Euler-discretized prior.  Defined
+    here (not the zoo) — it exists purely as the d=2 analytic anchor."""
+
+    gamma: jnp.ndarray
+    omega: jnp.ndarray
+    q_mat: jnp.ndarray  # [2, 2]
+
+    @property
+    def state_dim(self) -> int:
+        return 2
+
+    def drift(self, x, t=None):
+        dx1 = -self.gamma * x[..., 0] + self.omega * x[..., 1]
+        dx2 = -self.omega * x[..., 0] - self.gamma * x[..., 1]
+        return jnp.stack([dx1, dx2], axis=-1)
+
+    def drift_ch(self, xs, t=None):
+        x1, x2 = xs
+        return (
+            -self.gamma * x1 + self.omega * x2,
+            -self.omega * x1 - self.gamma * x2,
+        )
+
+
+@pytest.mark.parametrize("channelized", [False, True], ids=["generic", "channelized"])
+def test_cvi_dp_2d_linear_sde_matches_exact_smoother(key, monkeypatch, channelized):
+    """d=2 analytic anchor: CVI-DP on a rotating-OU (linear) 2-D SDE equals
+    the exact Kalman smoother of the same Euler-discretized prior — an
+    independent exact anchor for the d≥2 engine (the channelized variant
+    forces the structure-of-scalars filter/smoother path)."""
+    if channelized:
+        import vi_diffusion_processes_tpu.parallel.pskf as pskf
+
+        monkeypatch.setattr(pskf, "CH_THRESHOLD", 16)
+
+    gamma, omega = 0.8, 2.0
+    q = 0.6 * jnp.eye(2) + 0.1
+    sde = RotatingOU2D(
+        gamma=jnp.asarray(gamma), omega=jnp.asarray(omega), q_mat=q
+    )
+    grid = jnp.linspace(0.0, 2.0, T)
+    path = euler_maruyama(sde, jnp.asarray([1.0, -0.5]), grid, key)
+    obs_idx = np.arange(5, T - 1, 5)
+    obs_t = grid[obs_idx]
+    obs_y = path[obs_idx] + 0.3 * jax.random.normal(
+        jax.random.fold_in(key, 1), (len(obs_idx), 2)
+    )
+
+    model = CVISitesSDE.initialize_sde(
+        sde, grid, (obs_t, obs_y), Gaussian(variance=jnp.asarray(NOISE)),
+        stabilize_ssm=False,
+    )
+    inner = jax.jit(lambda m, lr: m.update_data_sites(lr).update_girsanov_sites(lr))
+    for _outer in range(4):
+        for _ in range(8):
+            model = inner(model, 0.8)
+        model = model.relinearize()
+
+    # exact smoother of the Euler-discretized prior + Gaussian sites
+    n = grid.shape[0] - 1
+    dt = grid[1] - grid[0]
+    big_gamma = jnp.asarray([[gamma, -omega], [omega, gamma]])
+    drift = LinearDrift(
+        A=jnp.broadcast_to(-big_gamma, (n, 2, 2)), b=jnp.zeros((n, 2))
+    )
+    prior = linear_drift_to_ssm(
+        drift, q, grid, jnp.zeros((2,)), jnp.linalg.cholesky(q)
+    )
+    nat1 = jnp.zeros((grid.shape[0], 2)).at[obs_idx].set(obs_y / NOISE)
+    nat2 = jnp.zeros((grid.shape[0], 2, 2)).at[obs_idx].set(
+        jnp.broadcast_to(jnp.eye(2) / NOISE, (len(obs_idx), 2, 2))
+    )
+    _, smooth = filter_smoother_with_sites(prior, nat1, nat2)
+
+    m_q, s_q = model.dist_q.marginals()
+    np.testing.assert_allclose(m_q, smooth.means, atol=2e-2)
+    np.testing.assert_allclose(s_q, smooth.covs, atol=2e-2)
+
+
 def test_cvi_dp_double_well(key):
     """BASELINE config #3: double-well CVI-DP — ELBO rises, posterior mean
     tracks the simulated path."""

@@ -162,6 +162,58 @@ def kf_forward_filter(params, H, R, observations, obs_means=None):
     return log_liks, fm, fc, pm, pc
 
 
+def kf_sparse_forward_filter(params, H, R, y_sparse, obs_indices):
+    """Sequential observation-space Kalman filter with observations on a
+    sparse subset of the dense grid — the functional analogue of the
+    reference's ``NumpyKalmanFilterWithSparseSites``
+    (tests/tools/numpy_kalman_filter.py:384-466): prediction at every grid
+    step, measurement update (and log-likelihood increment) only at the
+    observed indices.
+
+    ``H [out, d]`` or per-observation ``[n_obs, out, d]``; ``R [out, out]``
+    shared across observations; ``y_sparse [n_obs, out]``;
+    ``obs_indices [n_obs]`` strictly-increasing grid indices.
+
+    Returns ``(log_liks [n_obs], filt_means [n+1, d], filt_covs)`` where
+    the filtered moments at unobserved steps equal the predicted ones.
+    """
+    As = params["state_transitions"]
+    bs = params["state_offsets"]
+    n, d = As.shape[0], As.shape[-1]
+    out = y_sparse.shape[-1]
+    n_obs = len(obs_indices)
+    chols = np.concatenate(
+        [params["chol_initial_covariance"][None], params["chol_process_covariances"]],
+        axis=0,
+    )
+    qs = chols @ np.swapaxes(chols, -1, -2)
+    Hs = np.broadcast_to(H, (n_obs, out, d)) if H.ndim == 2 else H
+
+    obs_at = {int(k): i for i, k in enumerate(obs_indices)}
+    log_liks = np.zeros(n_obs)
+    fm = np.zeros((n + 1, d))
+    fc = np.zeros((n + 1, d, d))
+    m, p = params["initial_mean"].copy(), qs[0].copy()
+    for k in range(n + 1):
+        i = obs_at.get(k)
+        if i is not None:
+            hk = Hs[i]
+            v = y_sparse[i] - hk @ m
+            s = hk @ p @ hk.T + R
+            s_inv = np.linalg.inv(s)
+            gain = p @ hk.T @ s_inv
+            m = m + gain @ v
+            p = (np.eye(d) - gain @ hk) @ p
+            log_liks[i] = -0.5 * (
+                v @ s_inv @ v + out * np.log(2 * np.pi) + np.linalg.slogdet(s)[1]
+            )
+        fm[k], fc[k] = m, p
+        if k < n:
+            m = As[k] @ m + bs[k]
+            p = As[k] @ p @ As[k].T + qs[k + 1]
+    return log_liks, fm, fc
+
+
 def rts_backward_pass(params, fm, fc):
     """Sequential RTS smoother over the filtered moments (the reference's
     ``backward_smoothing_pass``, tests/tools/numpy_kalman_filter.py:137-178)."""

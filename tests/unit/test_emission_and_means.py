@@ -18,8 +18,8 @@ from vi_diffusion_processes_tpu.ssm.mean_functions import (
 )
 
 
-def test_emission_projections(rng, batch_shape):
-    n, m, d = 5, 2, 3
+def test_emission_projections(rng, batch_shape, output_dim):
+    n, m, d = 5, output_dim, 3
     h = jnp.asarray(rng.normal(size=batch_shape + (n, m, d)))
     em = EmissionModel(h)
     x = jnp.asarray(rng.normal(size=batch_shape + (n, d)))

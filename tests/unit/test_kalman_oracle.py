@@ -23,6 +23,7 @@ from vi_diffusion_processes_tpu.ssm.state_space_model import StateSpaceModel
 from ..tools.oracles import (
     kalman_filter_rts,
     kf_forward_filter,
+    kf_sparse_forward_filter,
     random_spd,
     random_ssm_params,
     rts_backward_pass,
@@ -122,3 +123,75 @@ def test_sparse_sites_log_lik_matches_specialized_form(rng, d, out):
     means, covs = kf.posterior_state_space_model().marginals()
     np.testing.assert_allclose(means, sm, rtol=1e-7, atol=1e-9)
     np.testing.assert_allclose(covs, sc, rtol=1e-7, atol=1e-9)
+
+    # cross-check against the observation-space sparse filter oracle
+    # (numpy_kalman_filter.py:384-466): identical total log p(y)
+    h_obs = np.take(h, obs_idx, axis=0)
+    log_liks, _, _ = kf_sparse_forward_filter(params, h_obs, r, y_obs, obs_idx)
+    np.testing.assert_allclose(kf.log_likelihood(), log_liks.sum(), rtol=1e-9)
+
+
+# ---------------------------------------------------------------------------
+# channelized engine at d = 4..8 vs the NumPy oracle (independent anchor —
+# the structure-of-scalars pskf paths were previously only equivalence-
+# tested against the generic [T,d,d] path at these dims)
+# ---------------------------------------------------------------------------
+
+D_CH = (4, 6, 8)
+
+
+@pytest.fixture
+def force_channelized(monkeypatch):
+    import vi_diffusion_processes_tpu.parallel.pskf as pskf
+
+    monkeypatch.setattr(pskf, "CH_THRESHOLD", 4)
+
+
+@pytest.mark.parametrize("d", D_CH, ids=[f"d{d}" for d in D_CH])
+def test_channelized_filter_matches_numpy_oracle(rng, force_channelized, d):
+    """Channelized (packed [d,d,nb] array-algebra) filter + smoother +
+    log-normalizer vs the dense sequential oracle at d = 4..8."""
+    out = 2
+    params, ssm, h, r, y = _setup(rng, d, out)
+    kf = KalmanFilter(
+        state_space_model=ssm,
+        emission_model=EmissionModel(jnp.asarray(h)),
+        observations=jnp.asarray(y),
+        chol_obs_covariance=jnp.asarray(np.linalg.cholesky(r)),
+    )
+    log_liks, fm, fc, _, _ = kf_forward_filter(params, h, r, y)
+    np.testing.assert_allclose(kf.log_likelihood(), log_liks.sum(), rtol=1e-8)
+
+    sm, sc = rts_backward_pass(params, fm, fc)
+    means, covs = kf.posterior_state_space_model().marginals()
+    np.testing.assert_allclose(means, sm, rtol=1e-6, atol=1e-8)
+    np.testing.assert_allclose(covs, sc, rtol=1e-6, atol=1e-8)
+
+
+@pytest.mark.parametrize("d", D_CH, ids=[f"d{d}" for d in D_CH])
+def test_channelized_sparse_sites_matches_numpy_oracle(rng, force_channelized, d):
+    """Sparse-sites log p(y) and posterior at d = 4..8 on the channelized
+    engine vs the sparse observation-space oracle."""
+    out = 1
+    params, ssm, h, r, _ = _setup(rng, d, out)
+    obs_idx = np.asarray([0, 2, 5, 9])
+    y_obs = rng.normal(size=(len(obs_idx), out))
+    r_inv = np.linalg.inv(r)
+    sites = GaussianSites(
+        nat1=jnp.asarray(y_obs @ r_inv.T),
+        nat2=jnp.broadcast_to(jnp.asarray(-0.5 * r_inv), (len(obs_idx), out, out)),
+    )
+    kf = KalmanFilterWithSparseSites(
+        state_space_model=ssm,
+        emission_model=EmissionModel(jnp.asarray(h)),
+        sites=sites,
+        obs_indices=jnp.asarray(obs_idx),
+    )
+    h_obs = np.take(h, obs_idx, axis=0)
+    log_liks, fm, fc = kf_sparse_forward_filter(params, h_obs, r, y_obs, obs_idx)
+    np.testing.assert_allclose(kf.log_likelihood(), log_liks.sum(), rtol=1e-8)
+
+    sm, sc = rts_backward_pass(params, fm, fc)
+    means, covs = kf.posterior_state_space_model().marginals()
+    np.testing.assert_allclose(means, sm, rtol=1e-6, atol=1e-8)
+    np.testing.assert_allclose(covs, sc, rtol=1e-6, atol=1e-8)
