@@ -32,9 +32,12 @@ vgp = VariationalGaussianProcess.initialize(kernel, lik, t, y)
 
 q = vgp.dist_q
 state = natgrad_init(q)
+step = jax.jit(
+    lambda q, s: natgrad_step(lambda d: vgp.loss(d), q, gamma=0.2, state=s)
+)
 losses = []
 for _ in range(25):
-    q, state, loss = natgrad_step(lambda d: vgp.loss(d), q, gamma=0.2, state=state)
+    q, state, loss = step(q, state)
     losses.append(float(loss))
 print(f"-ELBO: {losses[0]:.1f} -> {losses[-1]:.1f}")
 assert losses[-1] < losses[0]

@@ -73,7 +73,10 @@ def tri_solve(l: jnp.ndarray, b: jnp.ndarray, *, transpose: bool = False) -> jnp
     """
     if l.shape[-1] == 1 and b.shape[-2] == 1:
         return b / l[..., :1, :1]
-    if l.shape[-1] <= _UNROLL_MAX_DIM:
+    if (
+        l.shape[-1] <= _UNROLL_MAX_DIM
+        and _n_stacked_blocks(l.shape[:-2], b.shape[:-2]) >= _UNROLL_MIN_BLOCKS
+    ):
         return _tri_solve_unrolled(l, b, transpose=transpose)
     l, b = _broadcast_batch(l, b)
     return lax.linalg.triangular_solve(
@@ -114,6 +117,25 @@ def _tri_solve_unrolled(l: jnp.ndarray, b: jnp.ndarray, *, transpose: bool) -> j
 #: O(d³) unrolled expression graph stops paying for itself
 _UNROLL_MAX_DIM = 8
 
+#: minimum number of stacked blocks before the unrolled forms engage.
+#: The unroll is a LONG-grid TPU optimization (tile padding + while-loop
+#: lowering of tiny-block custom calls, see chol_psd/matmul_small notes);
+#: for short stacks it is pure compile-time liability — XLA:CPU's passes
+#: go superlinear on the transposed (reverse-AD) unrolled graphs
+#: (measured: grad of two matmul_small calls on [79,6,6] = 4k-line HLO,
+#: 110 s compile; the identical dense-@ graph compiles in 6 s).  Matches
+#: parallel/pskf.py::CH_THRESHOLD.
+_UNROLL_MIN_BLOCKS = 4096
+
+
+def _n_stacked_blocks(*batch_shapes) -> int:
+    """Static number of stacked blocks given operand batch shapes."""
+    batch = jnp.broadcast_shapes(*batch_shapes)
+    n = 1
+    for s in batch:
+        n *= int(s)
+    return n
+
 
 def chol_psd(x: jnp.ndarray) -> jnp.ndarray:
     """Cholesky with small-``d`` fast paths.
@@ -130,7 +152,7 @@ def chol_psd(x: jnp.ndarray) -> jnp.ndarray:
     d = x.shape[-1]
     if d == 1:
         return jnp.sqrt(x)
-    if d <= _UNROLL_MAX_DIM:
+    if d <= _UNROLL_MAX_DIM and _n_stacked_blocks(x.shape[:-2]) >= _UNROLL_MIN_BLOCKS:
         return _chol_unrolled(x)
     return jnp.linalg.cholesky(x)
 
@@ -189,7 +211,10 @@ def matmul_small(
     """
     m, k = a.shape[-2], a.shape[-1]
     k2, n = b.shape[-2], b.shape[-1]
-    if max(m, k, n) > max_unroll:
+    if (
+        max(m, k, n) > max_unroll
+        or _n_stacked_blocks(a.shape[:-2], b.shape[:-2]) < _UNROLL_MIN_BLOCKS
+    ):
         return a @ b
     rows = []
     for i in range(m):
@@ -216,7 +241,10 @@ def matvec_small(
     ``2·_UNROLL_MAX_DIM``).
     """
     m, k = a.shape[-2], a.shape[-1]
-    if max(m, k) > max_unroll:
+    if (
+        max(m, k) > max_unroll
+        or _n_stacked_blocks(a.shape[:-2], v.shape[:-1]) < _UNROLL_MIN_BLOCKS
+    ):
         return jnp.einsum("...ij,...j->...i", a, v)
     rows = []
     for i in range(m):
