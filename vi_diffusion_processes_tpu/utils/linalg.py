@@ -73,10 +73,7 @@ def tri_solve(l: jnp.ndarray, b: jnp.ndarray, *, transpose: bool = False) -> jnp
     """
     if l.shape[-1] == 1 and b.shape[-2] == 1:
         return b / l[..., :1, :1]
-    if (
-        l.shape[-1] <= _UNROLL_MAX_DIM
-        and _n_stacked_blocks(l.shape[:-2], b.shape[:-2]) >= _UNROLL_MIN_BLOCKS
-    ):
+    if l.shape[-1] <= _UNROLL_MAX_DIM and _unroll_pays(l.shape[:-2], b.shape[:-2]):
         return _tri_solve_unrolled(l, b, transpose=transpose)
     l, b = _broadcast_batch(l, b)
     return lax.linalg.triangular_solve(
@@ -124,17 +121,21 @@ _UNROLL_MAX_DIM = 8
 #: go superlinear on the transposed (reverse-AD) unrolled graphs
 #: (measured: grad of two matmul_small calls on [79,6,6] = 4k-line HLO,
 #: 110 s compile; the identical dense-@ graph compiles in 6 s).  Matches
-#: parallel/pskf.py::CH_THRESHOLD.
+#: parallel/pskf.py::CH_THRESHOLD.  Single blocks (no stacked leading
+#: dims — e.g. per-step operands inside lax.scan bodies, which trace
+#: once) stay unrolled: the graphs are tiny and the dense alternative is
+#: a per-iteration custom call on TPU.
 _UNROLL_MIN_BLOCKS = 4096
 
 
-def _n_stacked_blocks(*batch_shapes) -> int:
-    """Static number of stacked blocks given operand batch shapes."""
+def _unroll_pays(*batch_shapes) -> bool:
+    """True when the unrolled scalar-channel form should engage for
+    operands with the given (static) leading batch shapes."""
     batch = jnp.broadcast_shapes(*batch_shapes)
     n = 1
     for s in batch:
         n *= int(s)
-    return n
+    return n == 1 or n >= _UNROLL_MIN_BLOCKS
 
 
 def chol_psd(x: jnp.ndarray) -> jnp.ndarray:
@@ -152,7 +153,7 @@ def chol_psd(x: jnp.ndarray) -> jnp.ndarray:
     d = x.shape[-1]
     if d == 1:
         return jnp.sqrt(x)
-    if d <= _UNROLL_MAX_DIM and _n_stacked_blocks(x.shape[:-2]) >= _UNROLL_MIN_BLOCKS:
+    if d <= _UNROLL_MAX_DIM and _unroll_pays(x.shape[:-2]):
         return _chol_unrolled(x)
     return jnp.linalg.cholesky(x)
 
@@ -211,10 +212,7 @@ def matmul_small(
     """
     m, k = a.shape[-2], a.shape[-1]
     k2, n = b.shape[-2], b.shape[-1]
-    if (
-        max(m, k, n) > max_unroll
-        or _n_stacked_blocks(a.shape[:-2], b.shape[:-2]) < _UNROLL_MIN_BLOCKS
-    ):
+    if max(m, k, n) > max_unroll or not _unroll_pays(a.shape[:-2], b.shape[:-2]):
         return a @ b
     rows = []
     for i in range(m):
@@ -241,10 +239,7 @@ def matvec_small(
     ``2·_UNROLL_MAX_DIM``).
     """
     m, k = a.shape[-2], a.shape[-1]
-    if (
-        max(m, k) > max_unroll
-        or _n_stacked_blocks(a.shape[:-2], v.shape[:-1]) < _UNROLL_MIN_BLOCKS
-    ):
+    if max(m, k) > max_unroll or not _unroll_pays(a.shape[:-2], v.shape[:-1]):
         return jnp.einsum("...ij,...j->...i", a, v)
     rows = []
     for i in range(m):
