@@ -179,3 +179,28 @@ def test_dispatch_equivalence_on_cpu_paths():
     x_xla = scalar_affine_all(t, c, 0.3, reverse=True)
     x_pl = linear_recurrence(t, c, jnp.asarray(0.3), True)
     np.testing.assert_allclose(x_pl, x_xla, rtol=1e-10, atol=1e-12)
+
+
+def test_vmap_routes_through_sequential_batching(seqs):
+    """vmap of the Pallas entry points must agree with per-element calls.
+
+    A raw vmapped ``pallas_call`` synthesizes a batching index map whose
+    constants trace as i64 under x64 — Mosaic rejects it on TPU
+    ("func.return (i32, i64, ...)"), so the entry points are
+    ``sequential_vmap``-wrapped; this pins the batched semantics.
+    """
+    kd, b2, t, c = seqs
+    kd2 = jnp.stack([jnp.asarray(kd), jnp.asarray(kd) * 1.1])
+    b22 = jnp.stack([jnp.asarray(b2), jnp.asarray(b2) * 0.9])
+    dv = jax.vmap(riccati_d_sweep_df)(kd2, b22)
+    dl = jnp.stack([riccati_d_sweep_df(kd2[i], b22[i]) for i in range(2)])
+    np.testing.assert_allclose(dv, dl, rtol=1e-12)
+
+    t2 = jnp.stack([jnp.asarray(t), -jnp.asarray(t)])
+    c2 = jnp.stack([jnp.asarray(c), 2.0 * jnp.asarray(c)])
+    x0 = jnp.asarray([0.7, -0.3])
+    xv = jax.vmap(lambda a, b, x: linear_recurrence(a, b, x))(t2, c2, x0)
+    xl = jnp.stack([linear_recurrence(t2[i], c2[i], x0[i]) for i in range(2)])
+    scale = float(jnp.max(jnp.abs(xl)))
+    np.testing.assert_allclose(np.asarray(xv) / scale, np.asarray(xl) / scale,
+                               atol=1e-13)

@@ -81,6 +81,11 @@ def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
+# sequential_vmap: vmap of a raw pallas_call synthesizes an i64-constant
+# batching index map under jax_enable_x64 that Mosaic cannot legalize; a
+# lax.map over batched launches is also the right schedule for these
+# full-array VMEM kernels (see ops/pallas_scan.py).
+@jax.custom_batching.sequential_vmap
 def _window_maps(kdt_blk, b2t_blk):
     l, nb = kdt_blk.shape
     return pl.pallas_call(
@@ -92,6 +97,7 @@ def _window_maps(kdt_blk, b2t_blk):
     )(kdt_blk, b2t_blk)
 
 
+@jax.custom_batching.sequential_vmap
 def _window_sweep(kdt_blk, b2t_blk, s_blk, d_bnd):
     l, nb = kdt_blk.shape
     return pl.pallas_call(

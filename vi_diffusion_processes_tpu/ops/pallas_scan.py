@@ -58,6 +58,15 @@ __all__ = ["riccati_d_sweep_df", "linear_recurrence", "dist_q_1d_planes"]
 
 SUB = 8  # f32 sublane tile
 
+# vmap of a raw pallas_call synthesizes a batching index map whose constant
+# operands trace as i64 under jax_enable_x64, which Mosaic refuses to
+# legalize ("func.return (i32, i64, i64, i64)").  Every pallas_call below is
+# therefore routed through ``jax.custom_batching.sequential_vmap`` — vmap
+# lowers to a lax.map over the (small) batch axis, one kernel launch per
+# element, which is also the right schedule for these full-array VMEM
+# kernels (no grid to batch over).
+_seq_vmap = jax.custom_batching.sequential_vmap
+
 
 # ------------------------------------------------------------------ df ops
 # double-float (hi, lo) f32 arithmetic.  All operands are [8, L] rows.
@@ -300,6 +309,17 @@ def _riccati_kernel(kdh_ref, kdl_ref, b2h_ref, b2l_ref, outh_ref, outl_ref):
         outl_ref[i] = d[1]
 
 
+@_seq_vmap
+def _ric_call(kdh_b, kdl_b, nb2h_b, nb2l_b):
+    return pl.pallas_call(
+        _riccati_kernel,
+        out_shape=[jax.ShapeDtypeStruct(kdh_b.shape, jnp.float32)] * 2,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 4,
+        out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 2,
+        interpret=_interpret(),
+    )(kdh_b, kdl_b, nb2h_b, nb2l_b)
+
+
 @jax.custom_vjp
 def riccati_d_sweep_df(kd: jnp.ndarray, b2: jnp.ndarray) -> jnp.ndarray:
     """``D_k = kd_k − b2_k/D_{k+1}`` on float64 ``[N]`` inputs
@@ -329,13 +349,7 @@ def _ric_fwd(kd, b2):
         _blockify(nb2h, nb, l, 0.0),
         _blockify(nb2l, nb, l, 0.0),
     ]
-    outh, outl = pl.pallas_call(
-        _riccati_kernel,
-        out_shape=[jax.ShapeDtypeStruct((l, SUB, nb // SUB), jnp.float32)] * 2,
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 4,
-        out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 2,
-        interpret=_interpret(),
-    )(*blocks)
+    outh, outl = _ric_call(*blocks)
     d = _df_to_f64(_unblockify(outh, n), _unblockify(outl, n)) * s
     return d, (b2, d)
 
@@ -418,6 +432,36 @@ def _linrec_kernel_f32(t_ref, c_ref, out_ref, *, reverse):
         out_ref[i] = x
 
 
+@functools.lru_cache(maxsize=None)
+def _linrec_call_df(reverse):
+    @_seq_vmap
+    def call(th_b, tl_b, ch_b, cl_b):
+        return pl.pallas_call(
+            functools.partial(_linrec_kernel_df, reverse=reverse),
+            out_shape=[jax.ShapeDtypeStruct(th_b.shape, jnp.float32)] * 2,
+            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 4,
+            out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 2,
+            interpret=_interpret(),
+        )(th_b, tl_b, ch_b, cl_b)
+
+    return call
+
+
+@functools.lru_cache(maxsize=None)
+def _linrec_call_f32(reverse):
+    @_seq_vmap
+    def call(t_b, c_b):
+        return pl.pallas_call(
+            functools.partial(_linrec_kernel_f32, reverse=reverse),
+            out_shape=jax.ShapeDtypeStruct(t_b.shape, t_b.dtype),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 2,
+            out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+            interpret=_interpret(),
+        )(t_b, c_b)
+
+    return call
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
 def linear_recurrence(t: jnp.ndarray, c: jnp.ndarray, x0, reverse: bool = False):
     """``x_k = t_k·x_{k−1} + c_k`` (forward; ``x_{-1} = x0``) or
@@ -450,23 +494,11 @@ def _linrec_fwd(t, c, x0, reverse):
             _blockify(ch, nb, l, 0.0),
             _blockify(cl, nb, l, 0.0),
         ]
-        outh, outl = pl.pallas_call(
-            functools.partial(_linrec_kernel_df, reverse=reverse),
-            out_shape=[jax.ShapeDtypeStruct((l, SUB, nb // SUB), jnp.float32)] * 2,
-            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 4,
-            out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 2,
-            interpret=_interpret(),
-        )(*blocks)
+        outh, outl = _linrec_call_df(reverse)(*blocks)
         x = _df_to_f64(_unblockify(outh, n), _unblockify(outl, n))
     else:
         blocks = [_blockify(t, nb, l, 0.0), _blockify(c, nb, l, 0.0)]
-        out = pl.pallas_call(
-            functools.partial(_linrec_kernel_f32, reverse=reverse),
-            out_shape=jax.ShapeDtypeStruct((l, SUB, nb // SUB), t.dtype),
-            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 2,
-            out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
-            interpret=_interpret(),
-        )(*blocks)
+        out = _linrec_call_f32(reverse)(*blocks)
         x = _unblockify(out, n)
     return x, (t, x, x0)
 
@@ -701,6 +733,19 @@ def _dist_q_kernel(
         v_ref[i] = xv
 
 
+@_seq_vmap
+def _dist_q_call(*blocks):
+    plane = jax.ShapeDtypeStruct(blocks[0].shape, jnp.float32)
+    return pl.pallas_call(
+        _dist_q_kernel,
+        out_shape=[plane] * 5,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 6,
+        out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 5,
+        scratch_shapes=[pltpu.VMEM(blocks[0].shape, jnp.float32)] * 12,
+        interpret=_interpret(),
+    )(*blocks)
+
+
 def dist_q_1d_planes(nat1: jnp.ndarray, nat2d: jnp.ndarray, nat2s: jnp.ndarray):
     """Fused forward of the packed d=1 ``dist_q`` chain
     (models/cvi_dp_packed.py::_dist_q_1d): float64 naturals in, float32
@@ -728,15 +773,7 @@ def dist_q_1d_planes(nat1: jnp.ndarray, nat2d: jnp.ndarray, nat2s: jnp.ndarray):
         _blockify(n1h, nb, l, 0.0),
         _blockify(n1l, nb, l, 0.0),
     ]
-    plane = jax.ShapeDtypeStruct((l, SUB, nb // SUB), jnp.float32)
-    covs_b, a_b, w_b, mu_b, v_b = pl.pallas_call(
-        _dist_q_kernel,
-        out_shape=[plane] * 5,
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 6,
-        out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 5,
-        scratch_shapes=[pltpu.VMEM((l, SUB, nb // SUB), jnp.float32)] * 12,
-        interpret=_interpret(),
-    )(*blocks)
+    covs_b, a_b, w_b, mu_b, v_b = _dist_q_call(*blocks)
     covs = _unblockify(covs_b, n)
     a = _unblockify(a_b, n)[: n - 1]
     w = _unblockify(w_b, n)
