@@ -398,7 +398,17 @@ if __name__ == "__main__":
     names = [a for a in argv if a != "--write"] or list(ALL)
     results = []
     for name in names:
-        res = ALL[name]()
+        # the remote TPU compile tunnel occasionally drops long-running
+        # connections; retry each entry once and record failures instead of
+        # aborting the whole sweep (the artifact notes what's missing)
+        res = None
+        for attempt in range(2):
+            try:
+                res = ALL[name]()
+                break
+            except Exception as e:  # noqa: BLE001
+                sys.stderr.write(f"{name} attempt {attempt + 1} failed: {e}\n")
+                res = {"metric": name, "error": str(e)[:500]}
         results.append(res)
         print(json.dumps(res), flush=True)
     if write_artifact:
