@@ -105,13 +105,21 @@ def cvi_poisson_100k():
         Poisson(), t, y, learning_rate=0.3,
     )
 
+    # 4 site updates per dispatch (sustained throughput; the single-step
+    # number is dominated by ~2 ms host→TPU dispatch latency)
+    inner = 4
+
     @jax.jit
     def run(m):
-        return m.update_sites()
+        def body(mm, _):
+            return mm.update_sites(), None
+
+        m2, _ = jax.lax.scan(body, m, None, length=inner)
+        return m2
 
     m = run(model)
     jax.block_until_ready(m.sites.nat1)
-    dt = _time(run, m)
+    dt = _time(run, m, n=32, inner=inner)
     return {"metric": "cvi_poisson_site_step_100k", "value": round(1 / dt, 2), "unit": "steps/sec"}
 
 
@@ -175,13 +183,22 @@ def vdp_100k():
 
     state = jax.jit(pack_vdp)(vdp)
 
+    # sustained throughput: 8 steps per dispatch inside one jitted lax.scan
+    # (same methodology as bench.py — a single step is ~dispatch-latency
+    # through the axon tunnel, not device time)
+    inner = 8
+
     @jax.jit
     def run(st):
-        return packed_inference_step(vdp, st, 1e-6)
+        def body(s, _):
+            return packed_inference_step(vdp, s, 1e-6), None
+
+        st2, _ = jax.lax.scan(body, st, None, length=inner)
+        return st2
 
     st = run(state)
     jax.block_until_ready(st.a)
-    dt = _time(run, st)
+    dt = _time(run, st, n=64, inner=inner)
     return {"metric": "vdp_inference_step_100k", "value": round(1 / dt, 2), "unit": "steps/sec"}
 
 

@@ -34,6 +34,8 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from .pallas_scan import _seq_vmap
+
 __all__ = ["riccati_d_sweep"]
 
 
@@ -81,11 +83,12 @@ def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
-# sequential_vmap: vmap of a raw pallas_call synthesizes an i64-constant
-# batching index map under jax_enable_x64 that Mosaic cannot legalize; a
-# lax.map over batched launches is also the right schedule for these
-# full-array VMEM kernels (see ops/pallas_scan.py).
-@jax.custom_batching.sequential_vmap
+# unrolled custom batching: vmap of a raw pallas_call synthesizes an
+# i64-constant batching index map under jax_enable_x64 that Mosaic cannot
+# legalize, and sequential_vmap's lax.map makes XLA:CPU compile the whole
+# interpret-mode kernel inside a while body (superlinear — see
+# ops/pallas_scan.py::_seq_vmap, which unrolls batched launches instead).
+@_seq_vmap
 def _window_maps(kdt_blk, b2t_blk):
     l, nb = kdt_blk.shape
     return pl.pallas_call(
@@ -97,7 +100,7 @@ def _window_maps(kdt_blk, b2t_blk):
     )(kdt_blk, b2t_blk)
 
 
-@jax.custom_batching.sequential_vmap
+@_seq_vmap
 def _window_sweep(kdt_blk, b2t_blk, s_blk, d_bnd):
     l, nb = kdt_blk.shape
     return pl.pallas_call(

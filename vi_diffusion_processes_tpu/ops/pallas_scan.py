@@ -61,11 +61,31 @@ SUB = 8  # f32 sublane tile
 # vmap of a raw pallas_call synthesizes a batching index map whose constant
 # operands trace as i64 under jax_enable_x64, which Mosaic refuses to
 # legalize ("func.return (i32, i64, i64, i64)").  Every pallas_call below is
-# therefore routed through ``jax.custom_batching.sequential_vmap`` — vmap
-# lowers to a lax.map over the (small) batch axis, one kernel launch per
+# therefore given a custom batching rule: one kernel launch per batch
 # element, which is also the right schedule for these full-array VMEM
-# kernels (no grid to batch over).
-_seq_vmap = jax.custom_batching.sequential_vmap
+# kernels (no grid to batch over).  The loop is UNROLLED rather than routed
+# through ``jax.custom_batching.sequential_vmap``: that helper lowers to a
+# ``lax.map`` whose while-body is the whole kernel, and XLA:CPU's compile
+# of the interpret-mode kernel inside a while body is superlinear (>10 min
+# for ONE vmapped linear_recurrence at n=5000, measured) while the same
+# kernel unrolled twice compiles in seconds.  Batch axes here are tiny
+# (vmapped trajectories), so unrolling is also the faster device schedule.
+def _seq_vmap(f):
+    cf = jax.custom_batching.custom_vmap(f)
+
+    @cf.def_vmap
+    def _rule(axis_size, in_batched, *args):
+        def take(x, batched, i):
+            return x[i] if batched else x
+
+        outs = [
+            cf(*(take(a, b, i) for a, b in zip(args, in_batched)))
+            for i in range(axis_size)
+        ]
+        stacked = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *outs)
+        return stacked, jax.tree_util.tree_map(lambda _: True, stacked)
+
+    return cf
 
 
 # ------------------------------------------------------------------ df ops

@@ -32,6 +32,7 @@ from __future__ import annotations
 
 from typing import NamedTuple, Tuple
 
+import jax
 import jax.numpy as jnp
 from jax import lax
 
@@ -178,13 +179,27 @@ CH_THRESHOLD = 4096
 #: and the dense [T,d,d] path takes over.
 CH_MAX_DIM = 16
 
+#: the remote TPU compiler OOMs (compile-helper subprocess SIGKILL) on the
+#: packed channelized graphs past d≈8 at 10k-point grids — measured on the
+#: reference-scale spatio-temporal config (d=14, Mt=10k, 1.6 MB MLIR).
+#: TPU therefore hands d > 8 to the dense ``[T,d,d]`` stack path (QR- and
+#: Cholesky-routed custom calls, f64-safe); XLA:CPU keeps the wide ceiling
+#: — it compiles the channelized graphs to d=16 in seconds and runs them
+#: far faster than the dense stacks there.
+CH_MAX_DIM_TPU = 8
+
+
+def ch_max_dim() -> int:
+    """Backend-aware channelized-path state-dim ceiling (trace-time)."""
+    return CH_MAX_DIM_TPU if jax.default_backend() == "tpu" else CH_MAX_DIM
+
 
 def _ch_eligible(ssm: StateSpaceModel, nat1: jnp.ndarray) -> bool:
     """Unbatched, small-d, long-grid: the channelized path applies."""
     return (
         nat1.ndim == 2
         and ssm.state_transitions.ndim == 3
-        and 1 <= ssm.state_dim <= CH_MAX_DIM
+        and 1 <= ssm.state_dim <= ch_max_dim()
         and nat1.shape[0] >= CH_THRESHOLD
     )
 
@@ -711,7 +726,7 @@ def parallel_smoother(ssm: StateSpaceModel, filt: FilterResult) -> SmootherResul
     if (
         filt.means.ndim == 2
         and ssm.state_transitions.ndim == 3
-        and 1 <= ssm.state_dim <= CH_MAX_DIM
+        and 1 <= ssm.state_dim <= ch_max_dim()
         and filt.means.shape[0] >= CH_THRESHOLD
     ):
         return _parallel_smoother_ch(ssm, filt)
@@ -790,7 +805,7 @@ def site_log_normalizer(
     """
     if (
         nat1.ndim == 2
-        and 1 <= nat1.shape[-1] <= CH_MAX_DIM
+        and 1 <= nat1.shape[-1] <= ch_max_dim()
         and nat1.shape[0] >= CH_THRESHOLD
     ):
         return site_log_normalizer_ch(filt, nat1, nat2_prec)

@@ -146,20 +146,23 @@ def naturals_to_ssm_params(theta_linear, theta_diag, theta_sub):
 
     prec = BTD(diag=-2.0 * theta_diag, sub=-theta_sub)
     d = theta_linear.shape[-1]
+    from ..parallel.pskf import ch_max_dim
+
     if d == 1:
         # O(log N)-depth Möbius-scan fast path for the CVI hot loop
         d_blocks, u_super = btd_udu_parallel_1d(prec)
     elif (
-        2 <= d <= 16
+        2 <= d <= ch_max_dim()
         and theta_diag.ndim == 3
         and theta_diag.dtype == jnp.float64
         and theta_diag.shape[0] >= 4096
     ):
-        # 2 ≤ d ≤ 16 long grids: channelized Schur-segment scan (all pivots
-        # PD; d ≥ 4 inverses are PD-Cholesky-routed on packed [d,d,nb]
-        # arrays inside udu_channels — covers kernel-sum and
-        # reference-scale spatio-temporal state dims, matching
-        # parallel/pskf.py::CH_MAX_DIM)
+        # 2 ≤ d ≤ ch_max_dim() long grids: channelized Schur-segment scan
+        # (all pivots PD; d ≥ 4 inverses are PD-Cholesky-routed on packed
+        # [d,d,nb] arrays inside udu_channels — covers kernel-sum and, on
+        # CPU, reference-scale spatio-temporal state dims).  The TPU
+        # compiler OOMs on these graphs past d≈8 (pskf.CH_MAX_DIM_TPU), so
+        # TPU d > 8 falls through to the dense scan below.
         d_blocks, u_super = btd_udu_parallel_ch(prec)
     else:
         d_blocks, u_super = btd_udu(prec)
