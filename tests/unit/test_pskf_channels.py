@@ -162,3 +162,37 @@ def test_chmat_pd_primitives_general_d():
 
         g = jax.grad(f)(spd[:2])
         assert np.isfinite(np.asarray(g)).all()
+
+
+def test_channel_filter_d10_matches_generic(low_threshold):
+    """d > 8 channelized route (3-instantiation blocked scans,
+    blocked_assoc_scan_packed cross_seq=True) ≡ the generic dense path —
+    the reference-scale spatio-temporal regime (M_space × Matern → d > 8,
+    docs/notebooks/spatio_temporal.py:19-28)."""
+    kern = (
+        Matern52(lengthscale=jnp.asarray(0.7), variance=jnp.asarray(1.2))
+        + Matern52(lengthscale=jnp.asarray(1.3), variance=jnp.asarray(0.6))
+        + Matern52(lengthscale=jnp.asarray(0.4), variance=jnp.asarray(0.9))
+        + Matern12(lengthscale=jnp.asarray(1.1), variance=jnp.asarray(0.4))
+    )  # state_dim = 3 + 3 + 3 + 1 = 10
+    n = 301
+    ssm, nat1, prec = _case(kern, n, 3)
+    assert ssm.state_dim == 10
+
+    filt_ch = pskf._parallel_filter_ch(ssm, nat1, prec)
+    smooth_ch = pskf._parallel_smoother_ch(ssm, filt_ch)
+    logz_ch = pskf.site_log_normalizer_ch(filt_ch, nat1, prec)
+
+    orig = pskf.CH_THRESHOLD
+    pskf.CH_THRESHOLD = 10**9
+    try:
+        filt_ref, smooth_ref = pskf.filter_smoother_with_sites(ssm, nat1, prec)
+        logz_ref = pskf.site_log_normalizer(filt_ref, nat1, prec)
+    finally:
+        pskf.CH_THRESHOLD = orig
+
+    np.testing.assert_allclose(filt_ch.means, filt_ref.means, rtol=1e-7, atol=1e-9)
+    np.testing.assert_allclose(filt_ch.covs, filt_ref.covs, rtol=1e-6, atol=1e-9)
+    np.testing.assert_allclose(smooth_ch.means, smooth_ref.means, rtol=1e-6, atol=1e-8)
+    np.testing.assert_allclose(smooth_ch.covs, smooth_ref.covs, rtol=1e-6, atol=1e-8)
+    np.testing.assert_allclose(logz_ch, logz_ref, rtol=1e-8)

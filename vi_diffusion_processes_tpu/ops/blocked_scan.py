@@ -150,6 +150,7 @@ def blocked_assoc_scan_packed(
     reverse: bool = False,
     num_blocks: int = None,
     cross_recurse: bool = True,
+    cross_seq: bool = False,
 ) -> jnp.ndarray:
     """Inclusive associative scan over the LAST axis of ONE packed ``[C, T]``
     array (channel axis leading, data axis minormost).
@@ -166,6 +167,15 @@ def blocked_assoc_scan_packed(
     convention, treat axis 0 as the channel axis, and broadcast over any
     trailing data shape (the boundary combine passes ``[C, 1, nb]`` against
     ``[C, l, nb]``).  ``identity`` is a length-C sequence of scalars.
+
+    ``cross_seq=True`` runs the cross-window pass as a *sequential*
+    ``lax.scan`` over the ``nb`` aggregates, so ``fn`` is instantiated only
+    three times in the whole graph (window scan, cross pass, boundary
+    combine).  The default recursive/associative cross pass instantiates it
+    ~16×, which OOMs the remote TPU compiler when the compose body is the
+    unrolled d > 8 channel algebra (d=14: compile-helper SIGKILL even for
+    the UDU' alone, measured).  Pair with a smaller ``num_blocks`` (the
+    cross pass is ``nb`` sequential steps of a tiny compose).
     """
     c, n = elems.shape
     if n == 0:
@@ -193,6 +203,15 @@ def blocked_assoc_scan_packed(
         return new, new
 
     def cross(agg):
+        if cross_seq:
+            agg_t = jnp.moveaxis(agg, -1, 0)  # [nb, C]
+
+            def step_c(carry, row):
+                new = fn(carry, row)
+                return new, new
+
+            _, incl_t = lax.scan(step_c, ident_col[:, 0], agg_t, reverse=reverse)
+            return jnp.moveaxis(incl_t, 0, -1)
         if cross_recurse and nb > _CROSS_RECURSE_ABOVE:
             return blocked_assoc_scan_packed(
                 fn, agg, identity, reverse=reverse, num_blocks=64, cross_recurse=False

@@ -283,6 +283,146 @@ def btd_udu(k: BTD) -> Tuple[jnp.ndarray, jnp.ndarray]:
     return jnp.moveaxis(d_blocks, 0, -3), jnp.moveaxis(u_rest, 0, -3)
 
 
+def btd_udu_parallel_dense(k: BTD, num_windows: int = 512) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Parallel block UDU' for arbitrary ``d`` via the Schur-segment
+    composition (same math as :func:`udu_channels`) on a blocked
+    lane-layout: all element arrays live as ``[d, d, lanes]`` with the data
+    axis minormost, every pivot inverse is the *unrolled* achmat Cholesky,
+    and the scan is two vectorized window phases plus a tiny sequential
+    cross-window pass.
+
+    Exists for the d > 8 TPU regime (``parallel/pskf.py::CH_MAX_DIM_TPU``):
+
+    * the fully channelized graph (``btd_udu_parallel_ch``) OOMs the remote
+      TPU compiler at d = 14 even in isolation (0.96 MB MLIR → compile
+      helper SIGKILL, measured);
+    * the sequential :func:`btd_udu` fallback issues one tiny Cholesky +
+      triangular-solve custom call per grid point (8.6 s of an 11 s d=14
+      spatio step at N = 10k, measured);
+    * a ``lax.associative_scan`` over dense ``[N, d, d]`` stacks with
+      batched Cholesky custom calls still costs 2.1 s — the TPU custom
+      calls process tiny batched blocks essentially sequentially.
+
+    Structure (mirrors :func:`.blocked_scan.blocked_assoc_scan`): window
+    suffix scan (phase A, ``l`` steps × ``nw`` lanes), sequential suffix
+    pass over the ``nw`` window aggregates emitting *exclusive* boundaries
+    (phase B), and one vectorized combine of each within-window suffix with
+    its window boundary (phase C).  The compose body is instantiated only
+    three times, so the HLO stays small at any ``d``.  Identity elements
+    (window-padding and scan seeds) ride an explicit flag channel with
+    guarded (NaN-free-under-AD) pivots, exactly like ``udu_channels``.
+
+    Equivalent of ``SymmetricBlockTriDiagonal.upper_diagonal_lower``
+    (block_tri_diag.py:442-534).  Unbatched input only
+    (``diag.ndim == 3``); dispatched from ``ssm.transforms.naturals_to_ssm``.
+    """
+    from . import achmat as am
+
+    kd = k.diag  # [N, d, d]
+    b = k.sub  # [N-1, d, d];  b_k = K[k+1, k]
+    n_el = b.shape[0]
+    d = kd.shape[-1]
+    dtype = kd.dtype
+
+    def to_lanes(x):  # [n, d, d] → [d, d, n]
+        return jnp.moveaxis(x, (-2, -1), (0, 1))
+
+    def from_lanes(x):  # [d, d, n] → [n, d, d]
+        return jnp.moveaxis(x, (0, 1), (-2, -1))
+
+    if n_el == 0:
+        return kd, b
+
+    # segment [k, k+1]: boundary quadratic form (A, B, C) with the interior
+    # eliminated — A → x_k², B = K[k,k+1] = b_kᵀ → x_k·x_{k+1}, C = K_{k+1,k+1}
+    a0 = jnp.zeros((d, d, n_el), dtype)
+    b0 = to_lanes(b).swapaxes(0, 1)  # bᵀ channels
+    c0 = to_lanes(kd[1:])
+    f0 = jnp.zeros((n_el,), dtype)  # 1.0 marks an identity element
+
+    nw = max(1, min(num_windows, n_el))
+    l = -(-n_el // nw)
+    pad = nw * l - n_el
+
+    def ident(rest):
+        return (
+            jnp.zeros((d, d) + rest, dtype),
+            jnp.zeros((d, d) + rest, dtype),
+            jnp.broadcast_to(jnp.eye(d, dtype=dtype).reshape((d, d) + (1,) * len(rest)), (d, d) + rest),
+            jnp.ones(rest, dtype),
+        )
+
+    if pad:
+        ia, ib, ic, iflag = ident((pad,))
+        a0 = jnp.concatenate([a0, ia], axis=-1)
+        b0 = jnp.concatenate([b0, ib], axis=-1)
+        c0 = jnp.concatenate([c0, ic], axis=-1)
+        f0 = jnp.concatenate([f0, iflag], axis=-1)
+
+    def win(x):  # [..., nw*l] → [l, ..., nw]  (window w owns chunk [w·l, (w+1)·l))
+        y = x.reshape(x.shape[:-1] + (nw, l))
+        return jnp.moveaxis(y, -1, 0)
+
+    aw, bw, cw, fw = win(a0), win(b0), win(c0), win(f0)
+
+    def compose(later, earlier):
+        """Suffix compose on [d, d, *rest] channel operands with identity
+        flags (x = later segment, y = earlier — eliminates the interface)."""
+        a_r, b_r, c_r, f_r = later
+        a_l, b_l, c_l, f_l = earlier
+        m_inv = am.ainv_pd(c_l + a_r, guarded=True)  # PD cyclic-reduction pivot
+        blm = am.amm(b_l, m_inv)
+        a_new = am.asym(a_l - am.amm(blm, am.amt(b_l)))
+        b_new = -am.amm(blm, b_r)
+        c_new = am.asym(c_r - am.amm(am.amt(b_r), am.amm(m_inv, b_r)))
+
+        def sel(f, x, y):
+            return jnp.where(f > 0.5, x, y)
+
+        out_a = sel(f_l, a_r, sel(f_r, a_l, a_new))
+        out_b = sel(f_l, b_r, sel(f_r, b_l, b_new))
+        out_c = sel(f_l, c_r, sel(f_r, c_l, c_new))
+        return out_a, out_b, out_c, f_l * f_r
+
+    # --- phase A: within-window suffixes + window aggregates (l steps, nw lanes)
+    def step_a(carry, row):
+        out = compose(carry, row)
+        return out, out
+
+    agg, within = lax.scan(step_a, ident((nw,)), (aw, bw, cw, fw), reverse=True)
+
+    # --- phase B: exclusive suffix over the nw window aggregates (tiny,
+    # sequential — one compose instantiation instead of a log-tree of them)
+    agg_t = tuple(jnp.moveaxis(x, -1, 0) for x in agg)
+
+    def step_b(carry, row):
+        return compose(carry, row), carry  # emit PRE-compose ⇒ exclusive
+
+    _, bound_t = lax.scan(step_b, ident(()), agg_t, reverse=True)
+    bound = tuple(jnp.moveaxis(x, 0, -1) for x in bound_t)  # [d, d, nw] / [nw]
+
+    # --- phase C: combine window boundary into each within-window suffix
+    # (within: [l, d, d, nw] → lanes [d, d, l, nw]; boundary broadcast over l)
+    within_l = tuple(jnp.moveaxis(x, 0, -2) for x in within)
+    bound_b = tuple(x[..., None, :] for x in bound)
+    a_s, b_s, c_s, _ = compose(bound_b, within_l)
+
+    def unwin(x):  # [d, d, l, nw] → [d, d, nw*l] → unpadded [d, d, n_el]
+        y = jnp.moveaxis(x, -2, -1).reshape(x.shape[:-2] + (nw * l,))
+        return y[..., :n_el]
+
+    a_s, b_s, c_s = unwin(a_s), unwin(b_s), unwin(c_s)
+
+    # D_k = K_kk + A_k − B_k C_k⁻¹ B_kᵀ for k < N−1;  D_{N−1} = K_{N−1,N−1}
+    kd_l = to_lanes(kd)
+    corr = am.amm(b_s, am.amm(am.ainv_pd(c_s), am.amt(b_s)))
+    d_head = am.asym(kd_l[:, :, :-1] + a_s - corr)
+    d_blocks_l = jnp.concatenate([d_head, kd_l[:, :, -1:]], axis=-1)
+    # U_k = K[k,k+1] D_{k+1}⁻¹ = b_kᵀ D_{k+1}⁻¹
+    u_super_l = am.amm(b0[..., :n_el], am.ainv_pd(d_blocks_l[:, :, 1:]))
+    return from_lanes(d_blocks_l), from_lanes(u_super_l)
+
+
 def btd_udu_parallel_ch(k: BTD) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Parallel block UDU' for d ≤ 3 via Schur-segment (cyclic-reduction)
     composition on scalar channels.
@@ -430,8 +570,12 @@ def udu_channels(kd_ch, b_ch):
 
         n_el = flat[0].shape[0]
         packed = jnp.stack(flat)  # [3dd+1, N-1] — rank-1 channels
+        # d > 8: sequential cross pass (3 compose instantiations) — the
+        # recursive/assoc cross pass instantiates the unrolled compose ~16×
+        # and OOMs the remote TPU compiler (d=14 SIGKILL, measured)
+        big = {"cross_seq": True, "num_blocks": 512} if d > 8 else {}
         out_p = blocked_assoc_scan_packed(
-            compose_array, packed, identity=ident, reverse=True
+            compose_array, packed, identity=ident, reverse=True, **big
         )
         a_a = out_p[:dd].reshape(d, d, n_el)
         b_a = out_p[dd : 2 * dd].reshape(d, d, n_el)

@@ -180,13 +180,17 @@ CH_THRESHOLD = 4096
 CH_MAX_DIM = 16
 
 #: the remote TPU compiler OOMs (compile-helper subprocess SIGKILL) on the
-#: packed channelized graphs past d≈8 at 10k-point grids — measured on the
-#: reference-scale spatio-temporal config (d=14, Mt=10k, 1.6 MB MLIR).
-#: TPU therefore hands d > 8 to the dense ``[T,d,d]`` stack path (QR- and
-#: Cholesky-routed custom calls, f64-safe); XLA:CPU keeps the wide ceiling
-#: — it compiles the channelized graphs to d=16 in seconds and runs them
-#: far faster than the dense stacks there.
-CH_MAX_DIM_TPU = 8
+#: packed channelized graphs past d≈8 when the blocked scans instantiate
+#: the unrolled compose ~16× (recursive cross pass) — measured on the
+#: reference-scale spatio-temporal config (d=14, Mt=10k, 1.6 MB MLIR; even
+#: the UDU' alone died).  d > 8 therefore runs the 3-instantiation variant
+#: (``blocked_assoc_scan_packed(..., cross_seq=True)``), which compiles at
+#: d=14 and keeps the same per-element arithmetic.  If a future config
+#: still OOMs, lower this ceiling — the dense [T,d,d] stack path (QR- and
+#: Cholesky-routed custom calls + ``btd_udu_parallel_dense``) is the
+#: fallback and is f64-safe, just custom-call-bound (~0.27 steps/s at d=14
+#: vs the channelized path).
+CH_MAX_DIM_TPU = 16
 
 
 def ch_max_dim() -> int:
@@ -421,8 +425,10 @@ def _parallel_filter_ch(ssm: StateSpaceModel, nat1, nat2_prec) -> FilterResult:
         from ..ops.blocked_scan import blocked_assoc_scan_packed
 
         packed = _make_filter_elements_ach(ssm, nat1, nat2_prec)
+        # d > 8: 3-instantiation graph (see blocked_assoc_scan_packed)
+        big = {"cross_seq": True, "num_blocks": 512} if d > 8 else {}
         out_p = blocked_assoc_scan_packed(
-            _filter_compose_ach(d), packed, identity=ident
+            _filter_compose_ach(d), packed, identity=ident, **big
         )
         _, b_cum_a, c_cum_a, _, _ = _unpack_filter_elem_packed(out_p, d)
     else:
@@ -620,8 +626,9 @@ def _parallel_smoother_ch(ssm: StateSpaceModel, filt: FilterResult) -> SmootherR
         )
         eye_flat = tuple(1.0 if i == j else 0.0 for i in range(d) for j in range(d))
         ident = eye_flat + (0.0,) * d + (0.0,) * dd
+        big = {"cross_seq": True, "num_blocks": 512} if d > 8 else {}
         out_p = blocked_assoc_scan_packed(
-            _smoother_compose_ach(d), packed, identity=ident, reverse=True
+            _smoother_compose_ach(d), packed, identity=ident, reverse=True, **big
         )
         g_cum_a = out_p[dd : dd + d]
         l_cum_a = out_p[dd + d :].reshape(d, d, n_all)

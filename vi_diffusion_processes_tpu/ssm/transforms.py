@@ -142,7 +142,12 @@ def naturals_to_ssm_params(theta_linear, theta_diag, theta_sub):
     then the means solve ``K μ = θ`` (two bidiagonal substitutions through
     the same factor) and ``b_k = μ_{k+1} − A_k μ_k``.
     """
-    from ..ops.btd import affine_scan, btd_udu_parallel_1d, btd_udu_parallel_ch
+    from ..ops.btd import (
+        affine_scan,
+        btd_udu_parallel_1d,
+        btd_udu_parallel_ch,
+        btd_udu_parallel_dense,
+    )
 
     prec = BTD(diag=-2.0 * theta_diag, sub=-theta_sub)
     d = theta_linear.shape[-1]
@@ -164,6 +169,12 @@ def naturals_to_ssm_params(theta_linear, theta_diag, theta_sub):
         # compiler OOMs on these graphs past d≈8 (pskf.CH_MAX_DIM_TPU), so
         # TPU d > 8 falls through to the dense scan below.
         d_blocks, u_super = btd_udu_parallel_ch(prec)
+    elif d >= 2 and theta_diag.ndim == 3 and theta_diag.shape[0] >= 4096:
+        # long unbatched grids past the channelized ceiling (TPU d > 8):
+        # dense Schur-segment associative scan — one batched Cholesky/solve
+        # custom call per level instead of one tiny call per grid point
+        # (the sequential fallback was 8.6 s of an 11 s d=14 spatio step)
+        d_blocks, u_super = btd_udu_parallel_dense(prec)
     else:
         d_blocks, u_super = btd_udu(prec)
     a_s = -transpose_last(u_super)

@@ -9,6 +9,7 @@ from __future__ import annotations
 
 from typing import Sequence
 
+import jax
 import jax.numpy as jnp
 from jax import lax
 
@@ -73,7 +74,7 @@ def tri_solve(l: jnp.ndarray, b: jnp.ndarray, *, transpose: bool = False) -> jnp
     """
     if l.shape[-1] == 1 and b.shape[-2] == 1:
         return b / l[..., :1, :1]
-    if l.shape[-1] <= _UNROLL_MAX_DIM and _unroll_pays(l.shape[:-2], b.shape[:-2]):
+    if _unroll_dim_ok(l.shape[-1], l.shape[:-2], b.shape[:-2]):
         return _tri_solve_unrolled(l, b, transpose=transpose)
     l, b = _broadcast_batch(l, b)
     return lax.linalg.triangular_solve(
@@ -114,6 +115,16 @@ def _tri_solve_unrolled(l: jnp.ndarray, b: jnp.ndarray, *, transpose: bool) -> j
 #: O(d³) unrolled expression graph stops paying for itself
 _UNROLL_MAX_DIM = 8
 
+#: TPU-only ceiling for genuinely long stacks: XLA's Cholesky /
+#: TriangularSolve custom calls process stacked tiny blocks essentially
+#: sequentially on TPU (~2.5 µs per 14×14 f64 block, measured — 0.7 s for
+#: one [10k,14,14] inverse), so reference-scale state dims (spatio-temporal
+#: M_space=7 × Matern32 → d=14) stay unrolled there.  Off-TPU the LAPACK
+#: batched kernels are fine and the wider graphs would only bloat CPU
+#: compile times (the round-3 d=6 natgrad lesson), hence the backend gate
+#: in ``_unroll_dim_ok``.
+_UNROLL_MAX_DIM_LONG = 16
+
 #: minimum number of stacked blocks before the unrolled forms engage.
 #: The unroll is a LONG-grid TPU optimization (tile padding + while-loop
 #: lowering of tiny-block custom calls, see chol_psd/matmul_small notes);
@@ -138,6 +149,22 @@ def _unroll_pays(*batch_shapes) -> bool:
     return n == 1 or n >= _UNROLL_MIN_BLOCKS
 
 
+def _unroll_dim_ok(d: int, *batch_shapes) -> bool:
+    """Unrolled-form dispatch combining the two ceilings: ``d ≤ 8``
+    wherever ``_unroll_pays``; ``8 < d ≤ 16`` only on TPU and only for
+    long stacks (no singleton exception — the wider graphs are a pure
+    compile liability off the custom-call cliff)."""
+    if d <= _UNROLL_MAX_DIM:
+        return _unroll_pays(*batch_shapes)
+    if d > _UNROLL_MAX_DIM_LONG or jax.default_backend() != "tpu":
+        return False
+    batch = jnp.broadcast_shapes(*batch_shapes)
+    n = 1
+    for s in batch:
+        n *= int(s)
+    return n >= _UNROLL_MIN_BLOCKS
+
+
 def chol_psd(x: jnp.ndarray) -> jnp.ndarray:
     """Cholesky with small-``d`` fast paths.
 
@@ -153,7 +180,7 @@ def chol_psd(x: jnp.ndarray) -> jnp.ndarray:
     d = x.shape[-1]
     if d == 1:
         return jnp.sqrt(x)
-    if d <= _UNROLL_MAX_DIM and _unroll_pays(x.shape[:-2]):
+    if _unroll_dim_ok(d, x.shape[:-2]):
         return _chol_unrolled(x)
     return jnp.linalg.cholesky(x)
 
