@@ -177,6 +177,13 @@ def _marginals_1d(a, b, qv, mu0, p0v):
     return means, varis
 
 
+#: VMEM ceiling for the fused dist_q kernel: it pins 23 full-length f32
+#: planes (6 in + 5 out + 12 scratch) in VMEM, ~92 MB at T=1M — the Mosaic
+#: compile fails (tpu_compile_helper exit 1) past ~500k.  Longer grids fall
+#: back to the XLA composition whose pallas pieces dispatch individually.
+FUSED_DIST_Q_MAX_N = 1 << 19
+
+
 def _dist_q_core(nat1, nat2d, nat2s, compute_dtype):
     """naturals → f32 SSM params + marginals, XLA composition (the pallas
     kernels behind riccati/affine dispatch individually on TPU)."""
@@ -230,7 +237,7 @@ def _dist_q_1d(state: PackedCVIState, compute_dtype):
         compute_dtype == jnp.float32
         and nat1.dtype == jnp.float64
         and nat1.ndim == 1
-        and nat1.shape[0] >= 4096
+        and 4096 <= nat1.shape[0] <= FUSED_DIST_Q_MAX_N
         and jax.default_backend() == "tpu"
     ):
         a, b, qv, mu0, p0v, means, varis = _dist_q_core_fused(nat1, nat2d, nat2s)
