@@ -164,16 +164,25 @@ def naturals_to_ssm_params(theta_linear, theta_diag, theta_sub):
     ):
         # 2 ≤ d ≤ ch_max_dim() long grids: channelized Schur-segment scan
         # (all pivots PD; d ≥ 4 inverses are PD-Cholesky-routed on packed
-        # [d,d,nb] arrays inside udu_channels — covers kernel-sum and, on
-        # CPU, reference-scale spatio-temporal state dims).  The TPU
-        # compiler OOMs on these graphs past d≈8 (pskf.CH_MAX_DIM_TPU), so
-        # TPU d > 8 falls through to the dense scan below.
+        # [d,d,nb] arrays inside udu_channels — covers kernel-sum and
+        # reference-scale spatio-temporal state dims).  On TPU, d > 8 runs
+        # the 3-instantiation blocked variant (blocked_assoc_scan_packed
+        # with cross_seq=True) to keep the MLIR under the remote compiler's
+        # OOM threshold; this IS the shipping d=14 route.
         d_blocks, u_super = btd_udu_parallel_ch(prec)
-    elif d >= 2 and theta_diag.ndim == 3 and theta_diag.shape[0] >= 4096:
-        # long unbatched grids past the channelized ceiling (TPU d > 8):
+    elif (
+        d >= 2
+        and theta_diag.ndim == 3
+        and theta_diag.dtype == jnp.float64
+        and theta_diag.shape[0] >= 4096
+    ):
+        # f64 long unbatched grids past the channelized ceiling (d > 16):
         # dense Schur-segment associative scan — one batched Cholesky/solve
         # custom call per level instead of one tiny call per grid point
-        # (the sequential fallback was 8.6 s of an 11 s d=14 spatio step)
+        # (the sequential fallback was 8.6 s of an 11 s d=14 spatio step).
+        # f64-gated like the channelized branch: its ainv_pd/achol pivots
+        # are untested under f32 association noise, so f32 keeps the exact
+        # sequential btd_udu below.
         d_blocks, u_super = btd_udu_parallel_dense(prec)
     else:
         d_blocks, u_super = btd_udu(prec)
