@@ -124,27 +124,41 @@ def cvi_poisson_100k():
 
 
 def batched_cvi_dp():
+    """8 trajectories through the [B, T]-plane packed loop
+    (models/cvi_dp_packed_batched.py): one flat flagship-path dispatch of
+    length B·T per step instead of a vmap of the generic [T,1,1] step."""
     jax = _setup()
     import jax.numpy as jnp
 
     sys.path.insert(0, ".")
     from bench import build_model
+    from vi_diffusion_processes_tpu.models.cvi_dp_packed_batched import (
+        pack_state_batched,
+        packed_natgrad_step_batched,
+    )
 
     batch = 8
     models = [build_model(10_000, jnp.float32) for _ in range(batch)]
     stacked = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *models)
+    rep = models[0]
+    state = jax.jit(pack_state_batched)(stacked)
+
+    # sustained throughput: 8 steps per dispatch (same methodology as the
+    # flagship bench — single-step numbers measure tunnel dispatch latency)
+    inner = 8
 
     @jax.jit
-    def run(ms):
-        def one(m):
-            m = m.update_data_sites(0.3).update_girsanov_sites(0.3)
-            return m, m.classic_elbo()
-        ms, _ = jax.vmap(one)(ms)
-        return ms
+    def run(st):
+        def body(s, _):
+            s2, elbos = packed_natgrad_step_batched(rep, s, 0.3)
+            return s2, elbos
 
-    ms = run(stacked)
-    jax.block_until_ready(ms.time_grid)
-    dt = _time(run, ms)
+        st2, _ = jax.lax.scan(body, st, None, length=inner)
+        return st2
+
+    st = run(state)
+    jax.block_until_ready(st.fx_mu)
+    dt = _time(run, st, n=64, inner=inner)
     return {
         "metric": "batched8_cvi_dp_step_10k",
         "value": round(1 / dt, 2),
