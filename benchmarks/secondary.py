@@ -48,6 +48,124 @@ def _time(run, warmup_out, n=16, inner=1):
     return (time.perf_counter() - t0) / done
 
 
+# ------------------------------------------------------------ C++ baselines
+# d-generic sequential baselines (native/btd_kernels.cpp) — the honest CPU
+# twin of the reference's banded_matrices-driven per-step work, measured at
+# the SAME (n, d, n_obs) as each bench entry.  min-of-N like bench.py.
+def _libbtd():
+    import ctypes
+    import subprocess
+
+    here = pathlib.Path(__file__).resolve().parents[1] / "native"
+    so = here / "libbtd.so"
+    for attempt in range(2):
+        try:
+            lib = ctypes.CDLL(str(so))
+            lib.baseline_cvi_dp_step_d
+            return lib
+        except (OSError, AttributeError):
+            if attempt == 0:
+                subprocess.run(["make", "-C", str(here)], check=True)
+    raise OSError("libbtd.so unavailable")
+
+
+def _gh_grid_np(d, h):
+    z, w = np.polynomial.hermite.hermgauss(h)
+    w = w / np.sqrt(np.pi)
+    zs = np.stack(np.meshgrid(*([z] * d), indexing="ij"), -1).reshape(-1, d)
+    zs = np.ascontiguousarray(zs * np.sqrt(2.0))
+    ws = np.ascontiguousarray(
+        np.prod(np.stack(np.meshgrid(*([w] * d), indexing="ij"), -1).reshape(-1, d), -1)
+    )
+    return zs, ws
+
+
+def _min_of(fn, reps=3):
+    best = float("inf")
+    fn()  # warmup
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        fn()
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def _baseline_seconds(metric):
+    """Sequential C++ seconds/step for a bench metric, or None."""
+    import ctypes
+
+    c_dp = ctypes.POINTER(ctypes.c_double)
+    try:
+        lib = _libbtd()
+    except OSError:
+        return None
+    i64, i32 = ctypes.c_int64, ctypes.c_int
+
+    def gh_ptrs(d, h):
+        zs, ws = _gh_grid_np(d, h)
+        return (
+            zs.ctypes.data_as(c_dp),
+            ws.ctypes.data_as(c_dp),
+            len(ws),
+            (zs, ws),  # keep alive
+        )
+
+    if metric == "gpr_loglik_grad_100k":
+        lib.baseline_gpr_grad_step_d.restype = ctypes.c_double
+        lib.baseline_gpr_grad_step_d.argtypes = [i64, i32, i32]
+        return _min_of(lambda: lib.baseline_gpr_grad_step_d(100_000, 2, 1))
+    if metric == "gpr_d4_sum_loglik_grad_100k":
+        lib.baseline_gpr_grad_step_d.restype = ctypes.c_double
+        lib.baseline_gpr_grad_step_d.argtypes = [i64, i32, i32]
+        return _min_of(lambda: lib.baseline_gpr_grad_step_d(100_000, 4, 1))
+    if metric == "vanderpol_d2_cvi_dp_step_100k":
+        lib.baseline_cvi_dp_step_d.restype = ctypes.c_double
+        lib.baseline_cvi_dp_step_d.argtypes = [i64, i64, i32, i32, c_dp, c_dp, i32]
+        zp, wp, nq, _keep = gh_ptrs(2, 20)  # 20² tensor grid, as the model uses
+        return _min_of(
+            lambda: lib.baseline_cvi_dp_step_d(100_000, 200, 2, 1, zp, wp, nq)
+        )
+    if metric == "spatio_temporal_cvi_d6_site_step_10k":
+        lib.baseline_spatio_site_step_d.restype = ctypes.c_double
+        lib.baseline_spatio_site_step_d.argtypes = [i64, i64, i32, i32]
+        return _min_of(lambda: lib.baseline_spatio_site_step_d(10_000, 20_000, 6, 1))
+    if metric == "spatio_temporal_cvi_d14_site_step_10k":
+        lib.baseline_spatio_site_step_d.restype = ctypes.c_double
+        lib.baseline_spatio_site_step_d.argtypes = [i64, i64, i32, i32]
+        return _min_of(lambda: lib.baseline_spatio_site_step_d(10_000, 20_000, 14, 1))
+    if metric == "cvi_poisson_site_step_100k":
+        # site step profile: projection + naturals→SSM + Takahashi + VE,
+        # d=2 (Matern32 state), sites at every grid point
+        lib.baseline_spatio_site_step_d.restype = ctypes.c_double
+        lib.baseline_spatio_site_step_d.argtypes = [i64, i64, i32, i32]
+        return _min_of(lambda: lib.baseline_spatio_site_step_d(100_000, 100_000, 2, 1))
+    if metric == "batched8_cvi_dp_step_10k":
+        # 8 independent d=1 trajectories, 10k grid each, per step
+        lib.baseline_cvi_dp_step_1d.restype = ctypes.c_double
+        lib.baseline_cvi_dp_step_1d.argtypes = [i64, i64, i32, c_dp, c_dp, i32]
+        zp, wp, nq, _keep = gh_ptrs(1, 20)
+        return _min_of(
+            lambda: [
+                lib.baseline_cvi_dp_step_1d(10_000, 199, 1, zp, wp, nq)
+                for _ in range(8)
+            ]
+        )
+    if metric == "vdp_inference_step_100k":
+        lib.baseline_vdp_step_1d.restype = ctypes.c_double
+        lib.baseline_vdp_step_1d.argtypes = [i64, i64, i32, c_dp, c_dp, i32]
+        zp, wp, nq, _keep = gh_ptrs(1, 20)
+        return _min_of(lambda: lib.baseline_vdp_step_1d(100_000, 200, 1, zp, wp, nq))
+    if metric == "cvi_dp_full_natgrad_step_1m_grid":
+        lib.baseline_cvi_dp_step_1d.restype = ctypes.c_double
+        lib.baseline_cvi_dp_step_1d.argtypes = [i64, i64, i32, c_dp, c_dp, i32]
+        zp, wp, nq, _keep = gh_ptrs(1, 20)
+        return _min_of(
+            lambda: lib.baseline_cvi_dp_step_1d(1_000_000, 20_000, 1, zp, wp, nq),
+            reps=2,
+        )
+    return None
+
+
 def gpr_100k():
     jax = _setup()
     import jax.numpy as jnp
@@ -105,9 +223,9 @@ def cvi_poisson_100k():
         Poisson(), t, y, learning_rate=0.3,
     )
 
-    # 4 site updates per dispatch (sustained throughput; the single-step
-    # number is dominated by ~2 ms host→TPU dispatch latency)
-    inner = 4
+    # 16 site updates per dispatch (sustained throughput; per-dispatch
+    # host→TPU tunnel latency is ~3-4 ms, ~4× the device time of one step)
+    inner = 16
 
     @jax.jit
     def run(m):
@@ -440,6 +558,16 @@ if __name__ == "__main__":
             except Exception as e:  # noqa: BLE001
                 sys.stderr.write(f"{name} attempt {attempt + 1} failed: {e}\n")
                 res = {"metric": name, "error": str(e)[:500]}
+        if res is not None and "value" in res:
+            try:
+                base_s = _baseline_seconds(res["metric"])
+            except Exception as e:  # noqa: BLE001
+                sys.stderr.write(f"baseline for {name} failed: {e}\n")
+                base_s = None
+            if base_s is not None:
+                res["baseline_ms"] = round(base_s * 1e3, 2)
+                res["vs_baseline"] = round(base_s * res["value"], 2)
+                res["baseline"] = "cpp-sequential"
         results.append(res)
         print(json.dumps(res), flush=True)
     if write_artifact:
