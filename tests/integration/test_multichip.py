@@ -94,3 +94,75 @@ def test_batched_cvi_dp_vmap_sharded(key):
     e1 = np.asarray(elbos)
     assert np.isfinite(e1).all()
     assert (e1 >= e0 - 1e-6).all()
+
+
+def test_time_sharded_packed_natgrad_step_exact():
+    """The genuinely time-sharded CVI-DP natgrad step (every O(T) scan
+    distributed over the 8-way 't' mesh, models/cvi_dp_sharded.py) matches
+    the single-device packed step — sites, marginals, AND ELBO — to
+    association-order rounding, over several steps."""
+    from vi_diffusion_processes_tpu.likelihoods.gaussian import Gaussian
+    from vi_diffusion_processes_tpu.models.cvi_dp import CVISitesSDE
+    from vi_diffusion_processes_tpu.models.cvi_dp_packed import (
+        pack_state,
+        packed_natgrad_step,
+    )
+    from vi_diffusion_processes_tpu.models.cvi_dp_sharded import (
+        sharded_packed_natgrad_step,
+    )
+    from vi_diffusion_processes_tpu.sde.utils import Gaussian as GaussianState
+    from vi_diffusion_processes_tpu.sde.zoo import DoubleWellSDE
+
+    n = 1024
+    dtype = jnp.float32
+    sde = DoubleWellSDE(q_mat=jnp.asarray([[0.8]], dtype))
+    grid = jnp.linspace(0.0, 4.0, n, dtype=dtype)
+    rng = np.random.default_rng(7)
+    obs_idx = np.arange(11, n - 1, 37)
+    obs_y = jnp.asarray(
+        np.sign(np.sin(1.3 * np.asarray(grid[obs_idx])))[:, None]
+        + 0.2 * rng.normal(size=(len(obs_idx), 1)),
+        dtype,
+    )
+    model = CVISitesSDE.initialize(
+        prior_ssm=None,
+        time_grid=grid,
+        input_data=(grid[obs_idx], obs_y),
+        likelihood=Gaussian(variance=jnp.asarray(0.04, dtype)),
+        prior_initial_state=GaussianState(
+            mu=jnp.zeros((1,), dtype), cov=jnp.asarray([[0.8]], dtype)
+        ),
+        prior_sde=sde,
+        stabilize_ssm=True,
+        clip_state_transitions=(-1.0, 1.0),
+    ).set_linearized_prior()
+
+    mesh = Mesh(np.asarray(jax.devices()[:8]), ("t",))
+    state_ref = pack_state(model)
+    # shard the [T]-planes over 't'; [T-1] subdiagonal planes keep their
+    # default placement (jit re-shards them as the scans require)
+    state_sh = jax.tree_util.tree_map(
+        lambda x: jax.device_put(x, NamedSharding(mesh, P("t")))
+        if x.ndim == 1 and x.shape[0] % 8 == 0
+        else x,
+        state_ref,
+    )
+
+    step_ref = jax.jit(packed_natgrad_step)
+    step_sh = jax.jit(
+        lambda m, s, lr: sharded_packed_natgrad_step(m, s, lr, mesh, "t")
+    )
+    for i in range(3):
+        state_ref, elbo_ref = step_ref(model, state_ref, 0.3)
+        state_sh, elbo_sh = step_sh(model, state_sh, 0.3)
+        np.testing.assert_allclose(
+            float(elbo_sh), float(elbo_ref), rtol=2e-4, err_msg=f"step {i}"
+        )
+    for name in ["g_nat1", "g_nat2d", "g_nat2s", "d_nat1", "d_nat2", "fx_mu", "fx_var"]:
+        np.testing.assert_allclose(
+            getattr(state_sh, name),
+            getattr(state_ref, name),
+            rtol=5e-3,
+            atol=5e-3,
+            err_msg=name,
+        )

@@ -136,3 +136,51 @@ def test_iwvi_samples_and_expectations(data, kernel, key):
     g = jax.grad(lambda q: model.replace(dist_q=q).dregs_objective((t, y), key))(model.dist_q)
     leaves = jax.tree_util.tree_leaves(g)
     assert all(np.isfinite(np.asarray(leaf)).all() for leaf in leaves)
+
+
+def test_svgp_trainable_inducing_points_through_ordered(data, kernel):
+    """Train SVGP inducing points through the ``ordered()`` bijector — the
+    reference's trainable-under-constraint path (sparse_variational.py:129,
+    markovflow/base.py:27).  The unconstrained parameter moves freely under
+    Adam; the constrained inducing points must stay strictly sorted at
+    every step and the loss must improve."""
+    import optax
+
+    from vi_diffusion_processes_tpu.optim.bijectors import ordered, ordered_inverse
+
+    t, y = data
+    lik = Gaussian(variance=jnp.asarray(NOISE))
+    z0 = jnp.linspace(float(t[0]), float(t[-1]), 8)
+    base = SparseVariationalGaussianProcess.initialize(kernel, lik, z0)
+
+    # round trip sanity
+    np.testing.assert_allclose(ordered(ordered_inverse(z0)), z0, rtol=1e-10)
+
+    def loss_fn(params):
+        z = ordered(params["z_u"])
+        model = base.replace(
+            inducing_points=z, dist_q=base.kernel.state_space_model(z)
+        )
+        return model.loss((t, y))
+
+    params = {"z_u": ordered_inverse(z0)}
+    opt = optax.adam(5e-2)
+    opt_state = opt.init(params)
+
+    @jax.jit
+    def step(params, opt_state):
+        val, g = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = opt.update(g, opt_state)
+        return optax.apply_updates(params, updates), opt_state, val
+
+    losses = []
+    for _ in range(25):
+        params, opt_state, val = step(params, opt_state)
+        losses.append(float(val))
+        z = ordered(params["z_u"])
+        # strictly sorted after every update
+        assert bool(jnp.all(jnp.diff(z) > 0)), "inducing points lost ordering"
+
+    # the points actually moved and the objective improved
+    assert not np.allclose(ordered(params["z_u"]), z0)
+    assert losses[-1] < losses[0]
