@@ -226,25 +226,52 @@ def bench_numpy_baseline(grid_size: int = 100_000, n_reps: int = 2) -> float:
     return (time.perf_counter() - t0) / n_reps
 
 
+def _pinned_baseline(metric: str):
+    """Pinned sequential-C++ baseline seconds from BASELINE.json, or None.
+
+    The per-run re-measured baseline drifts ±10% with box load, which made
+    the headline vs_baseline ratio wobble between rounds; the pinned value
+    (min-of-N on an idle box, recorded with its context) keeps the ratio
+    comparable across runs.  A fresh measurement is still taken and printed
+    as ``baseline_drift`` so a stale pin is visible.
+    """
+    import os
+
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BASELINE.json")
+    try:
+        with open(path) as fh:
+            pinned = json.load(fh).get("pinned_baselines", {})
+        entry = pinned.get(metric)
+        return float(entry["seconds_per_step"]) if entry else None
+    except Exception:
+        return None
+
+
 def main():
     grid_size = 100_000
+    metric = "cvi_dp_full_natgrad_step_100k_grid"
     step_time, elbo = bench_tpu(grid_size)
     assert np.isfinite(elbo), f"benchmark ELBO is not finite: {elbo}"
     try:
-        baseline = bench_cpp_baseline(grid_size)
+        measured = bench_cpp_baseline(grid_size)
         baseline_kind = "cpp"
     except Exception:
         # NumPy stand-in is ~an order of magnitude slower than the C++
         # baseline; record which one ran so vs_baseline is interpretable.
-        baseline = bench_numpy_baseline(grid_size)
+        measured = bench_numpy_baseline(grid_size)
         baseline_kind = "numpy"
+    pinned = _pinned_baseline(metric) if baseline_kind == "cpp" else None
+    baseline = pinned if pinned is not None else measured
     result = {
-        "metric": "cvi_dp_full_natgrad_step_100k_grid",
+        "metric": metric,
         "value": round(1.0 / step_time, 3),
         "unit": "steps/sec",
         "vs_baseline": round(baseline / step_time, 2),
-        "baseline": baseline_kind,
+        "baseline": baseline_kind + ("-pinned" if pinned is not None else ""),
+        "baseline_ms": round(baseline * 1e3, 2),
     }
+    if pinned is not None:
+        result["baseline_drift"] = round(measured / pinned, 3)
     print(json.dumps(result))
 
 

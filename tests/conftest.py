@@ -84,3 +84,49 @@ def output_dim(request):
     """Observation-space dimension axis of the reference's fixture grid
     (tests/conftest.py:46-48)."""
     return request.param
+
+
+# --------------------------------------------------------------- heavy tier
+#: Compile-heavy tests (≥ ~20 s each on this 1-CPU box, warm cache — the
+#: suite's cost is death-by-many-30s-XLA:CPU-compiles, not one bomb).
+#: Auto-marked ``heavy`` so the development loop can run the quick
+#: partition ``-m "not slow and not heavy"`` (~15 min warm) while the full
+#: ``pytest tests/`` remains the green-at-HEAD gate.  Measured via
+#: ``--durations=40`` (2026-08-21, warm cache; see README "Test suite").
+_HEAVY_TESTS = {
+    "test_fused_dist_q_gradients_route_through_xla",
+    "test_sharded_log_normalizer_matches",
+    "test_packed_ch_step_matches_generic",
+    "test_riccati_df_gradients_match_fd",
+    "test_trainer_packed_d2_converges",
+    "test_cvi_dp_elbo_trace_matches_golden",
+    "test_vmap_routes_through_sequential_batching",
+    "test_dispatch_equivalence_on_cpu_paths",
+    "test_dispatch_end_to_end_equivalence",
+    "test_channel_filter_smoother_normalizer",
+    "test_gpr_loglik_and_grads_match_golden",
+    "test_channel_filter_d10_matches_generic",
+    "test_sparse_pep_gaussian_improves",
+    "test_batched_learning_trace_matches_golden",
+    "test_packed_step_matches_generic",
+    "test_dense_parallel_udu_matches_sequential",
+    "test_fused_dist_q_matches_xla_composition",
+    "test_linear_recurrence_gradients_match_fd",
+    "test_vgp_reaches_gpr_across_grid",
+    "test_iwvi_samples_and_expectations",
+    "test_filter_smoother_blocked_matches_small_path",
+    "test_dense_parallel_udu_gradients_match",
+    "test_natgrad_with_momentum_converges",
+    "test_checkpoint_roundtrip",
+    "test_naturals_to_ssm_d2_parallel_dispatch",
+    "test_batched_packed_matches_generic",
+    "test_matrix_channels_match_lax",
+    "test_time_sharded_packed_natgrad_step_exact",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        base = item.name.split("[")[0]
+        if base in _HEAVY_TESTS:
+            item.add_marker(pytest.mark.heavy)

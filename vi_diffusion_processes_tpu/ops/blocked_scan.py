@@ -236,6 +236,20 @@ def blocked_assoc_scan_packed(
 
     def cross(agg):
         if cross_seq:
+            if nb > 64:
+                # Two-level cross pass: recursing once replaces nb fully
+                # SEQUENTIAL compose steps on [C, 1]-shaped operands (the
+                # unrolled d > 8 channel algebra runs ~300 µs per scalar
+                # step on v5e — 512 of them were 0.9 s of the d=12 spatio
+                # site step) with a √nb-lane-vectorized window scan plus a
+                # √nb-length scalar tail.  Costs 2 extra instantiations of
+                # ``fn`` (5 total) — far below the ~16 of the recursive
+                # tree pass that OOMed the remote TPU compiler at d = 14.
+                sub_nb = max(8, int(nb**0.5))
+                return blocked_assoc_scan_packed(
+                    fn, agg, identity, reverse=reverse,
+                    num_blocks=sub_nb, cross_recurse=False, cross_seq=True,
+                )
             agg_t = jnp.moveaxis(agg, -1, 0)  # [nb, C]
 
             def step_c(carry, row):

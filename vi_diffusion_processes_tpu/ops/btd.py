@@ -570,10 +570,12 @@ def udu_channels(kd_ch, b_ch):
 
         n_el = flat[0].shape[0]
         packed = jnp.stack(flat)  # [3dd+1, N-1] — rank-1 channels
-        # d > 8: sequential cross pass (3 compose instantiations) — the
-        # recursive/assoc cross pass instantiates the unrolled compose ~16×
-        # and OOMs the remote TPU compiler (d=14 SIGKILL, measured)
-        big = {"cross_seq": True, "num_blocks": 512} if d > 8 else {}
+        # d ≥ 4: two-level cross pass (5 compose instantiations, ~66
+        # sequential steps at T=10k) — the recursive/assoc cross pass
+        # instantiates the unrolled compose ~16× (OOMs the remote TPU
+        # compiler at d=14, SIGKILL measured) and does ~4× the compose
+        # work (12 full-width tree levels + a 64-step near-scalar subscan)
+        big = {"cross_seq": True, "num_blocks": 512} if d >= 4 else {}
         out_p = blocked_assoc_scan_packed(
             compose_array, packed, identity=ident, reverse=True, **big
         )

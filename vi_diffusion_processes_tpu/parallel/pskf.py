@@ -426,7 +426,7 @@ def _parallel_filter_ch(ssm: StateSpaceModel, nat1, nat2_prec) -> FilterResult:
 
         packed = _make_filter_elements_ach(ssm, nat1, nat2_prec)
         # d > 8: 3-instantiation graph (see blocked_assoc_scan_packed)
-        big = {"cross_seq": True, "num_blocks": 512} if d > 8 else {}
+        big = {"cross_seq": True, "num_blocks": 512} if d >= 4 else {}
         out_p = blocked_assoc_scan_packed(
             _filter_compose_ach(d), packed, identity=ident, **big
         )
@@ -626,7 +626,7 @@ def _parallel_smoother_ch(ssm: StateSpaceModel, filt: FilterResult) -> SmootherR
         )
         eye_flat = tuple(1.0 if i == j else 0.0 for i in range(d) for j in range(d))
         ident = eye_flat + (0.0,) * d + (0.0,) * dd
-        big = {"cross_seq": True, "num_blocks": 512} if d > 8 else {}
+        big = {"cross_seq": True, "num_blocks": 512} if d >= 4 else {}
         out_p = blocked_assoc_scan_packed(
             _smoother_compose_ach(d), packed, identity=ident, reverse=True, **big
         )
