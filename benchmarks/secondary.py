@@ -223,21 +223,31 @@ def cvi_poisson_100k():
         Poisson(), t, y, learning_rate=0.3,
     )
 
+    # packed (rank-1 buffers + channel naturals) hot loop — the fast path a
+    # CVI training loop runs for single-output models (models/cvi_packed.py)
+    from vi_diffusion_processes_tpu.models.cvi_packed import (
+        pack_cvi,
+        packed_site_step,
+    )
+
+    state = jax.jit(pack_cvi)(model)
+
     # 16 site updates per dispatch (sustained throughput; per-dispatch
-    # host→TPU tunnel latency is ~3-4 ms, ~4× the device time of one step)
+    # host→TPU tunnel latency is ~3-4 ms, several × the device time of one
+    # step)
     inner = 16
 
     @jax.jit
-    def run(m):
-        def body(mm, _):
-            return mm.update_sites(), None
+    def run(st):
+        def body(s, _):
+            return packed_site_step(model, s), None
 
-        m2, _ = jax.lax.scan(body, m, None, length=inner)
-        return m2
+        st2, _ = jax.lax.scan(body, st, None, length=inner)
+        return st2
 
-    m = run(model)
-    jax.block_until_ready(m.sites.nat1)
-    dt = _time(run, m, n=32, inner=inner)
+    st = run(state)
+    jax.block_until_ready(st.d_nat1)
+    dt = _time(run, st, n=32, inner=inner)
     return {"metric": "cvi_poisson_site_step_100k", "value": round(1 / dt, 2), "unit": "steps/sec"}
 
 

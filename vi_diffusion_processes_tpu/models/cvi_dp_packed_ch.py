@@ -189,22 +189,15 @@ def _marginals_scan_ch(a, c, q, x0, v0):
     return means, covs
 
 
-def _dist_q_ch(state: PackedChState, compute_dtype):
-    """full_sites + naturals→SSM + marginals, all channels.
+def naturals_to_marginals_ch(nat1, nat2d, nat2s, compute_dtype):
+    """Channel naturals → SSM params + marginal means/covs.
 
-    f64 naturals algebra (Schur-segment UDU' + matrix-affine mean solve),
-    f32 marginals; the posterior marginal means ARE the mean solve."""
-    f64 = state.p_nat1[0].dtype
-    nat1 = cm.vadd(
-        cm.vadd(state.p_nat1, _tree_astype(state.g_nat1, f64)),
-        _tree_astype(state.d_nat1, f64),
-    )
-    nat2d = cm.madd(
-        cm.madd(state.p_nat2d, _tree_astype(state.g_nat2d, f64)),
-        _tree_astype(state.d_nat2, f64),
-    )
-    nat2s = cm.madd(state.p_nat2s, _tree_astype(state.g_nat2s, f64))
-
+    The channel twin of ``naturals_to_ssm_params`` + ``marginals``
+    (ssm/transforms.py:133-172, ssm/state_space_model.py:122-159): input
+    naturals in their own (f64) dtype, outputs in ``compute_dtype``.
+    Shared by the CVI-DP channel loop below and the non-conjugate CVI
+    packed loop (:mod:`.cvi_packed`).  Returns ``((a, qv), means, covs)``.
+    """
     kd = cm.mscale(nat2d, -2.0)
     b_sub = cm.mscale(nat2s, -1.0)  # b_k = K[k+1,k]
     d_blocks, u_super = udu_channels(kd, b_sub)
@@ -240,6 +233,24 @@ def _dist_q_ch(state: PackedChState, compute_dtype):
     p032 = _tree_astype(p0v, compute_dtype)
     means, covs_m = _marginals_scan_ch(a32, w_tail32, qv32, w032, p032)
     return (a32, qv32), means, covs_m
+
+
+def _dist_q_ch(state: PackedChState, compute_dtype):
+    """full_sites + naturals→SSM + marginals, all channels.
+
+    f64 naturals algebra (Schur-segment UDU' + matrix-affine mean solve),
+    f32 marginals; the posterior marginal means ARE the mean solve."""
+    f64 = state.p_nat1[0].dtype
+    nat1 = cm.vadd(
+        cm.vadd(state.p_nat1, _tree_astype(state.g_nat1, f64)),
+        _tree_astype(state.d_nat1, f64),
+    )
+    nat2d = cm.madd(
+        cm.madd(state.p_nat2d, _tree_astype(state.g_nat2d, f64)),
+        _tree_astype(state.d_nat2, f64),
+    )
+    nat2s = cm.madd(state.p_nat2s, _tree_astype(state.g_nat2s, f64))
+    return naturals_to_marginals_ch(nat1, nat2d, nat2s, compute_dtype)
 
 
 def _kl_packed_ch(
