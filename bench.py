@@ -69,7 +69,7 @@ def build_model(grid_size: int, dtype):
     return jax.jit(lambda m: m.set_linearized_prior())(model)
 
 
-def bench_tpu(grid_size: int = 100_000, n_steps: int = 256, inner: int = 8) -> float:
+def bench_tpu(grid_size: int = 100_000, n_steps: int = 512, inner: int = 32) -> float:
     """Seconds per full CVI-DP natgrad step (data sites + Girsanov sites +
     ELBO each step) on the default JAX device.
 

@@ -232,10 +232,10 @@ def cvi_poisson_100k():
 
     state = jax.jit(pack_cvi)(model)
 
-    # 16 site updates per dispatch (sustained throughput; per-dispatch
-    # host→TPU tunnel latency is ~3-4 ms, several × the device time of one
-    # step)
-    inner = 16
+    # 64 site updates per dispatch (sustained throughput; per-dispatch
+    # host→TPU tunnel latency jitters between ~3 and ~10 ms across sessions,
+    # many × the device time of one packed step)
+    inner = 64
 
     @jax.jit
     def run(st):
@@ -247,7 +247,7 @@ def cvi_poisson_100k():
 
     st = run(state)
     jax.block_until_ready(st.d_nat1)
-    dt = _time(run, st, n=32, inner=inner)
+    dt = _time(run, st, n=128, inner=inner)
     return {"metric": "cvi_poisson_site_step_100k", "value": round(1 / dt, 2), "unit": "steps/sec"}
 
 
@@ -474,13 +474,31 @@ def spatio_temporal_cvi_10k():
         Gaussian(variance=jnp.asarray(0.05)), learning_rate=0.5,
     )
 
-    @jax.jit
-    def run(m):
-        return m.update_sites((inputs, y))
+    # plane-layout packed loop (models/spatio_packed.py): loop invariants
+    # hoisted at pack time, posterior refresh on the CVI-DP channel engine
+    from vi_diffusion_processes_tpu.models.spatio_packed import (
+        pack_spatio,
+        packed_spatio_site_step,
+    )
 
-    m = run(model)
-    jax.block_until_ready(m.nat1)
-    dt = _time(run, m, n=8)
+    # pass data/cache as jit ARGUMENTS: closed-over [N]-sized constants
+    # make XLA constant-fold whole invariant subgraphs at compile time
+    # pack on the host CPU backend: one-time setup whose [N, d, d]-unrolled
+    # f64 graph is needlessly expensive for the remote TPU compiler
+    with jax.default_device(jax.devices("cpu")[0]):
+        cache, state = jax.jit(pack_spatio)(model, (inputs, y))
+    cache = jax.device_put(cache, jax.devices()[0])
+    state = jax.device_put(state, jax.devices()[0])
+    sys.stderr.write("pack done\n")
+
+    @jax.jit
+    def run(c, st):
+        return packed_spatio_site_step(model, c, st, jnp.float32)
+
+    st = run(cache, state)
+    jax.block_until_ready(st.nat1)
+    sys.stderr.write("step compiled\n")
+    dt = _time(lambda s: run(cache, s), st, n=16)
     return {"metric": "spatio_temporal_cvi_d6_site_step_10k",
             "value": round(1 / dt, 2), "unit": "steps/sec"}
 
@@ -517,13 +535,25 @@ def spatio_temporal_cvi_d14_10k():
         Gaussian(variance=jnp.asarray(0.05)), learning_rate=0.5,
     )
 
-    @jax.jit
-    def run(m):
-        return m.update_sites((inputs, y))
+    from vi_diffusion_processes_tpu.models.spatio_packed import (
+        pack_spatio,
+        packed_spatio_site_step,
+    )
 
-    m = run(model)
-    jax.block_until_ready(m.nat1)
-    dt = _time(run, m, n=8)
+    with jax.default_device(jax.devices("cpu")[0]):
+        cache, state = jax.jit(pack_spatio)(model, (inputs, y))
+    cache = jax.device_put(cache, jax.devices()[0])
+    state = jax.device_put(state, jax.devices()[0])
+    sys.stderr.write("pack done\n")
+
+    @jax.jit
+    def run(c, st):
+        return packed_spatio_site_step(model, c, st, jnp.float32)
+
+    st = run(cache, state)
+    jax.block_until_ready(st.nat1)
+    sys.stderr.write("step compiled\n")
+    dt = _time(lambda s: run(cache, s), st, n=8)
     return {"metric": "spatio_temporal_cvi_d14_site_step_10k",
             "value": round(1 / dt, 2), "unit": "steps/sec"}
 
