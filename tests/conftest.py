@@ -122,6 +122,8 @@ _HEAVY_TESTS = {
     "test_batched_packed_matches_generic",
     "test_matrix_channels_match_lax",
     "test_time_sharded_packed_natgrad_step_exact",
+    "test_packed_site_step_matches_generic",
+    "test_packed_spatio_step_matches_generic",
 }
 
 
